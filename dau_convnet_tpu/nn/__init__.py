@@ -1,0 +1,19 @@
+from .layers import (
+    DAU_UNITS_GROUP,
+    DAUConv1d,
+    DAUConv2d,
+    DAUGridMean,
+    ZeroNLast,
+    dau_conv1d,
+    dau_conv2d,
+)
+
+__all__ = [
+    "DAU_UNITS_GROUP",
+    "DAUConv1d",
+    "DAUConv2d",
+    "DAUGridMean",
+    "ZeroNLast",
+    "dau_conv1d",
+    "dau_conv2d",
+]

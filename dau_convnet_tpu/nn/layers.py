@@ -1,0 +1,298 @@
+"""Flax layer API mirroring the reference TensorFlow plugin's Python surface.
+
+Reference: plugins/tensorflow/dau_conv/dau_conv.py -
+`DAUConv2d` (:221-555), `DAUConv1d` (:557-570), `DAUGridMean` (:24-74),
+`ZeroNLast` (:76-110), and the contrib-style `dau_conv2d` / `dau_conv1d`
+wrappers (:579-795). Parameter names, shapes ([1, S, G, F]), defaults and
+behavioral quirks (unit rounding to groups of 2, stride emulation by output
+slicing, layer-level mu clipping, single shared non-trainable sigma) are
+kept; TF Session-era plumbing (collections, variable_scope, regularizer
+hooks) maps to idiomatic flax/optax (regularizers are applied by the loss,
+constraints by the optimizer).
+
+Improvements over the reference where free on TPU: NHWC is supported in
+addition to NCHW (the reference is NCHW-only, dau_conv.py:163-181), and any
+number of output channels is allowed (no multiple-of-16/32 restriction -
+that was a CUDA warp-layout constraint, README.md:225).
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.dau_conv import DAUConvSettings, dau_conv2d_op
+from ..ops.gaussian import blur_kernel_size
+
+__all__ = ["DAUGridMean", "ZeroNLast", "DAUConv2d", "DAUConv1d",
+           "dau_conv2d", "dau_conv1d", "DAU_UNITS_GROUP"]
+
+# the engine aggregates units in groups of 2; odd unit counts get one dummy
+# unit with zero weight and no gradient (reference dau_conv.py:223-224,
+# :313-329). Kept for layout/checkpoint parity with the reference.
+DAU_UNITS_GROUP = 2
+
+
+def DAUGridMean(dau_units, max_value, dau_unit_axis=2):
+    """Initializer spreading DAU means on a regular grid in [-max, +max].
+
+    Reference dau_conv.py:24-74. For the requested shape [1, S, G, F] with
+    G = prod(dau_units) (+ dummy pad), positions vary along unit axis
+    `dau_unit_axis` of the separated [S, units0, units1, F] view (2 => mu1,
+    1 => mu2) and broadcast along all other axes.
+    """
+    u0, u1 = dau_units
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        if len(shape) != 4:
+            raise ValueError(
+                "DAUGridMean requires rank-4 shape [1, S, units, F]")
+        _, s, g, f = shape
+        sep = (u0, u1) if g == u0 * u1 else None
+        if sep is None:
+            # dummy-padded unit count: spread over the flat G axis instead
+            n = g
+            vals = (np.arange(n) * (2 * max_value + 1) / float(n)
+                    + (-0.5 + (2 * max_value + 1) / float(2 * n)) - max_value)
+            out = np.broadcast_to(vals[None, None, :, None], (1, s, g, f))
+            return jnp.asarray(out, dtype)
+        n = (u0, u1)[dau_unit_axis - 1]
+        vals = (np.arange(n) * (2 * max_value + 1) / float(n)
+                + (-0.5 + (2 * max_value + 1) / float(2 * n)) - max_value)
+        grid = np.zeros((1, s, u0, u1, f))
+        if dau_unit_axis == 2:
+            grid += vals[None, None, None, :, None]
+        elif dau_unit_axis == 1:
+            grid += vals[None, None, :, None, None]
+        else:
+            raise ValueError("dau_unit_axis must be 1 (mu2) or 2 (mu1)")
+        return jnp.asarray(grid.reshape(1, s, g, f), dtype)
+
+    return init
+
+
+def ZeroNLast(base_init, last_num_to_zero, axis):
+    """Wrap an initializer, zeroing the last N entries along `axis`
+    (reference dau_conv.py:76-110; used to blank dummy units' weights)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        vals = base_init(key, shape, dtype)
+        if last_num_to_zero == 0:
+            return vals
+        idx = jnp.arange(shape[axis]) < (shape[axis] - last_num_to_zero)
+        bshape = [1] * len(shape)
+        bshape[axis] = shape[axis]
+        return vals * idx.reshape(bshape).astype(dtype)
+
+    return init
+
+
+def _rounded_units(dau_units: tp.Tuple[int, int]):
+    """Round the unit count up to a multiple of DAU_UNITS_GROUP, growing the
+    smaller grid axis (reference dau_conv.py:313-329). Returns
+    (dau_units, num_all, num_ignore)."""
+    units = tuple(int(u) for u in dau_units)
+    num_all = int(np.prod(units))
+    num_ignore = 0
+    if num_all % DAU_UNITS_GROUP != 0:
+        new_num = int(math.ceil(num_all / DAU_UNITS_GROUP) * DAU_UNITS_GROUP)
+        num_ignore = new_num - num_all
+        if units[0] < units[1]:
+            units = (units[0] + num_ignore, units[1])
+        else:
+            units = (units[0], units[1] + num_ignore)
+        num_all = new_num
+    return units, num_all, num_ignore
+
+
+class DAUConv2d(nn.Module):
+    """Displaced Aggregation Unit 2D convolution layer.
+
+    Drop-in analogue of the reference `DAUConv2d` (dau_conv.py:221-555);
+    constructor argument names and defaults match the reference README
+    (README.md:150-190). Input is NCHW for data_format='channels_first'
+    (reference behavior) or NHWC for 'channels_last' (extension).
+
+    Parameters (flax): weights/mu1/mu2 of shape [1, S, G, F], sigma of
+    shape [1] (single shared Gaussian width, tiled internally; trainable
+    only when `dau_sigma_trainable` - reference dau_conv.py:417-430), and
+    bias [F].
+    """
+
+    filters: int
+    dau_units: tp.Tuple[int, int]
+    max_kernel_size: int
+    strides: int = 1
+    data_format: str = "channels_first"
+    activation: tp.Optional[tp.Callable] = None
+    use_bias: bool = True
+    weight_initializer: tp.Callable = nn.initializers.normal(stddev=0.1)
+    mu1_initializer: tp.Optional[tp.Callable] = None
+    mu2_initializer: tp.Optional[tp.Callable] = None
+    sigma_initializer: tp.Optional[tp.Callable] = None
+    bias_initializer: tp.Callable = nn.initializers.zeros
+    mu_learning_rate_factor: float = 500.0
+    dau_unit_border_bound: float = 0.01
+    dau_unit_single_dim: bool = False
+    dau_aggregation_forbid_positive_dim1: bool = False
+    dau_sigma_trainable: bool = False
+    dau_mu_interpolation: bool = True
+    dau_sigma_init: float = 0.5
+    unit_testing: bool = False
+    engine: str = "xla"
+    dtype: tp.Any = jnp.float32
+
+    @property
+    def padding(self) -> int:
+        return int(math.floor(self.max_kernel_size / 2.0))
+
+    def _unit_info(self):
+        return _rounded_units(tuple(self.dau_units))
+
+    @property
+    def num_dau_units_all(self) -> int:
+        return self._unit_info()[1]
+
+    @property
+    def num_dau_units_ignore(self) -> int:
+        return self._unit_info()[2]
+
+    def dau_param_shape(self, in_channels: int):
+        return (1, in_channels, self.num_dau_units_all, self.filters)
+
+    @nn.compact
+    def __call__(self, inputs):
+        if inputs.ndim != 4:
+            raise ValueError(f"DAUConv2d expects rank-4 input, got {inputs.shape}")
+        channels_last = self.data_format in ("channels_last", "NHWC")
+        x = jnp.transpose(inputs, (0, 3, 1, 2)) if channels_last else inputs
+
+        s_ch = x.shape[1]
+        units, num_all, num_ignore = self._unit_info()
+        pshape = (1, s_ch, num_all, self.filters)
+
+        max_val = math.floor(self.max_kernel_size / 2.0) - 1
+        w_init = ZeroNLast(self.weight_initializer, num_ignore, axis=2)
+        mu1_init = self.mu1_initializer or DAUGridMean(units, max_val, dau_unit_axis=2)
+        mu2_init = (self.mu2_initializer or
+                    (nn.initializers.zeros if self.dau_unit_single_dim
+                     else DAUGridMean(units, max_val, dau_unit_axis=1)))
+        sigma_init = self.sigma_initializer or nn.initializers.constant(self.dau_sigma_init)
+
+        w = self.param("weights", w_init, pshape, self.dtype)
+        mu1 = self.param("mu1", mu1_init, pshape, self.dtype)
+        mu2 = self.param("mu2", mu2_init, pshape, self.dtype)
+        sigma = self.param("sigma", sigma_init, (1,), self.dtype)
+
+        if not self.dau_sigma_trainable:
+            sigma = jax.lax.stop_gradient(sigma)
+        if self.dau_unit_single_dim:
+            # 1D DAU: mu2 pinned at zero (reference mu2 zero-constraint,
+            # dau_conv.py:562-563).
+            mu2 = jnp.zeros_like(mu2)
+
+        # layer-level clip keeping units inside the kernel
+        # (reference dau_conv.py:183,188-195)
+        bound = math.floor(self.max_kernel_size / 2.0) - self.dau_unit_border_bound
+        mu1 = jnp.clip(mu1, -bound, bound)
+        mu2 = jnp.clip(mu2, -bound, bound)
+
+        cfg = DAUConvSettings(
+            kernel_size=self.max_kernel_size,
+            use_interpolation=self.dau_mu_interpolation,
+            number_units_ignore=num_ignore,
+            single_dim_kernel=self.dau_unit_single_dim,
+            forbid_positive_dim1=self.dau_aggregation_forbid_positive_dim1,
+            mu_learning_rate_factor=self.mu_learning_rate_factor,
+            component_border_bound=self.dau_unit_border_bound,
+            unit_testing=self.unit_testing,
+            blur_size=blur_kernel_size(self.dau_sigma_init),
+            compute_sigma_grad=self.dau_sigma_trainable,
+            engine=self.engine,
+        )
+
+        sigma_tiled = jnp.broadcast_to(sigma.reshape(1, 1, 1, 1), pshape)
+        out = dau_conv2d_op(cfg, x, w, mu1, mu2, sigma_tiled)
+
+        if self.strides > 1:
+            # stride emulated by output slicing, same compute as stride 1
+            # (reference dau_conv.py:339-342,496-498)
+            out = out[:, :, ::self.strides, ::self.strides]
+
+        if self.use_bias:
+            bias = self.param("bias", self.bias_initializer, (self.filters,), self.dtype)
+            out = out + bias.reshape(1, self.filters, 1, 1)
+
+        if self.activation is not None:
+            out = self.activation(out)
+        return jnp.transpose(out, (0, 2, 3, 1)) if channels_last else out
+
+
+class DAUConv1d(DAUConv2d):
+    """1D DAU convolution: units displace only along x; the aggregation
+    kernel is masked to the centre row (reference dau_conv.py:557-570).
+    """
+
+    dau_unit_single_dim: bool = True
+
+
+def dau_conv2d(inputs, filters, dau_units, max_kernel_size, *,
+               stride=1, mu_learning_rate_factor=500,
+               data_format="channels_first",
+               activation_fn=nn.relu, normalizer_fn=None,
+               normalizer_params=None,
+               weights_initializer=nn.initializers.normal(stddev=0.1),
+               mu1_initializer=None, mu2_initializer=None,
+               sigma_initializer=None,
+               biases_initializer=nn.initializers.zeros,
+               dau_unit_border_bound=0.01,
+               dau_sigma_trainable=False,
+               dau_mu_interpolation=True,
+               name=None, **layer_kwargs):
+    """Functional wrapper in the style of the reference contrib API
+    (dau_conv.py:579-688): layer + optional normalizer + activation.
+    Must be called inside a flax module's compact scope. `normalizer_fn`
+    receives the pre-activation output (e.g. a flax BatchNorm instance or
+    any callable)."""
+    use_bias = normalizer_fn is None and biases_initializer is not None
+    layer = DAUConv2d(
+        filters=filters, dau_units=dau_units, max_kernel_size=max_kernel_size,
+        strides=stride, data_format=data_format, activation=None,
+        use_bias=use_bias,
+        weight_initializer=weights_initializer,
+        mu1_initializer=mu1_initializer, mu2_initializer=mu2_initializer,
+        sigma_initializer=sigma_initializer,
+        bias_initializer=biases_initializer or nn.initializers.zeros,
+        mu_learning_rate_factor=mu_learning_rate_factor,
+        dau_unit_border_bound=dau_unit_border_bound,
+        dau_sigma_trainable=dau_sigma_trainable,
+        dau_mu_interpolation=dau_mu_interpolation,
+        name=name, **layer_kwargs)
+    out = layer(inputs)
+    if normalizer_fn is not None:
+        out = normalizer_fn(out, **(normalizer_params or {}))
+    if activation_fn is not None:
+        out = activation_fn(out)
+    return out
+
+
+def dau_conv1d(inputs, filters, dau_units, max_kernel_size, *,
+               dau_aggregation_forbid_positive_dim1=False, **kwargs):
+    """1D variant of `dau_conv2d` (reference dau_conv.py:691-795)."""
+    use_bias = kwargs.pop("normalizer_fn", None) is None
+    activation_fn = kwargs.pop("activation_fn", nn.relu)
+    layer = DAUConv1d(
+        filters=filters, dau_units=dau_units, max_kernel_size=max_kernel_size,
+        use_bias=use_bias,
+        dau_aggregation_forbid_positive_dim1=dau_aggregation_forbid_positive_dim1,
+        activation=None, **kwargs)
+    out = layer(inputs)
+    if activation_fn is not None:
+        out = activation_fn(out)
+    return out

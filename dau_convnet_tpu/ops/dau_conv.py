@@ -1,0 +1,257 @@
+"""The DAU convolution primitive: `dau_conv2d_op` with a custom VJP.
+
+TPU-native equivalent of the reference's layer orchestration + TF ops:
+
+- `BaseDAUConvLayer::Forward_gpu/Backward_gpu`
+  (reference src/dau_conv/base_dau_conv_layer.cu:15-363),
+- the `DAUConv` / `DAUConvGrad` TensorFlow ops
+  (plugins/tensorflow/src/dau_conv_op.cpp:150-320,
+  plugins/tensorflow/src/dau_conv_grad_op.cpp:115-305).
+
+What vanished by design, per the TPU compilation model:
+- workspace carving / 4 CUDA streams / events (base_dau_conv_layer.cpp:
+  302-391, .cu:65-127): XLA owns buffers and scheduling.
+- the runtime `amax(mu)` device->host sync that picks a CUDA kernel tier
+  (dau_conv_op.cpp:223-256): under jit shapes are static, so the tap bound
+  comes from the static `max_kernel_size` (see xla_engine docstring); use
+  `utils.tiers.snap_kernel_tier` to pick a smaller static tier when offsets
+  are known to be bounded.
+- 11 + 17 manually instantiated CUDA kernels: jit specialization.
+
+The backward rule reproduces the reference's *analytic* parameter gradients
+(Gaussian-derivative filters), NOT autodiff of the bilinear forward - the
+two differ for mu/sigma, and the reference semantics (== its numpy oracle)
+are the contract. w-grad and input-grad coincide with true autodiff since
+the forward is linear in both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import xla_engine
+from .gaussian import blur_kernel_size, depthwise_blur, gaussian_filters
+
+__all__ = ["DAUConvSettings", "dau_conv2d_op", "edge_gradient_mask"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DAUConvSettings:
+    """Static configuration of a DAU convolution.
+
+    Mirrors the reference `DAUConvSettings` struct
+    (include/dau_conv/base_dau_conv_layer.hpp:109-130) and the TF op attrs
+    (dau_conv_op.cpp:22-48); names kept for API fidelity. Fields that are
+    dead in the reference (`merge_iteration_step`, `merge_threshold`:
+    `merge_components()` is commented out, base_dau_conv_layer.cu:28-30) are
+    accepted as documented no-ops.
+    """
+
+    kernel_size: int = 9                 # static max kernel size (tap bound)
+    use_interpolation: bool = True       # bilinear (4-tap) sub-pixel shift
+    number_units_ignore: int = 0         # trailing dummy units (group-of-2 pad)
+    single_dim_kernel: bool = False      # 1D DAU: blur only along x
+    forbid_positive_dim1: bool = False   # zero blur taps at x > 0 (1D causal)
+    mu_learning_rate_factor: float = 1.0 # extra factor on mu1/mu2 grads
+    unit_normalization: bool = True      # blur filter sums to 1
+    square_unit_normalization: bool = False
+    component_border_bound: float = 0.01 # mu clip margin from kernel edge
+    sigma_lower_bound: float = 0.3
+    unit_testing: bool = False           # ignore_edge_gradients GPU-compat shim
+    blur_size: int = 9                   # static blur-filter size (from sigma)
+    compute_sigma_grad: bool = True
+    engine: str = "xla"                  # 'xla' | 'pallas'
+    # accepted-for-parity no-ops (dead in the reference):
+    merge_iteration_step: int = 0
+    merge_threshold: float = 1.0
+    mean_iteration_step: int = 0
+    sigma_iteration_step: int = 0
+
+    def __post_init__(self):
+        if self.kernel_size % 2 != 1 or self.kernel_size < 1:
+            raise ValueError(f"kernel_size must be odd and >= 1, got {self.kernel_size}")
+        if self.engine not in ("xla", "pallas"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+
+    @property
+    def max_offset(self) -> float:
+        """Largest representable |mu| (the layer clips to this)."""
+        return self.kernel_size // 2 - self.component_border_bound
+
+
+def edge_gradient_mask(h: int, w: int, dtype=jnp.float32):
+    """Static (h, w) mask zeroing the last row/col per the reference's GPU
+    tile rule - only used under `unit_testing` for CUDA-compat differential
+    tests (dau_conv_test.py:107-136, dau_conv_backward_core.hpp:2477-2560).
+    """
+    def _disable(dim):
+        for tile in (64, 32, 16, 8):
+            if dim >= tile:
+                return dim % tile == 0
+        return False
+    mask = jnp.ones((h, w), dtype=dtype)
+    if _disable(w):
+        mask = mask.at[:, w - 1].set(0.0)
+    if _disable(h):
+        mask = mask.at[h - 1, :].set(0.0)
+    return mask
+
+
+def _unit_mask(s: int, g: int, f: int, num_ignore: int, dtype):
+    """(S, G, F) mask that zeroes the trailing `num_ignore` dummy units
+    (reference `set_last_n_gauss_to_zero`, base_dau_conv_layer.cu:365-381)."""
+    if num_ignore == 0:
+        return None
+    gmask = (jnp.arange(g) < g - num_ignore).astype(dtype)
+    return jnp.broadcast_to(gmask[None, :, None], (s, g, f))
+
+
+def _squeeze_params(w, mu1, mu2):
+    """Accept reference [1, S, G, F] or bare [S, G, F] parameter layout."""
+    if w.ndim == 4:
+        if w.shape[0] != 1:
+            raise ValueError(f"expected leading param dim 1, got {w.shape}")
+        return w[0], mu1[0], mu2[0], True
+    return w, mu1, mu2, False
+
+
+def _sigma_scalar(sigma):
+    """The layer-shared blur sigma: first element of the (tiled) sigma tensor
+    (the reference shares one sigma across the layer; dau_conv.py:417-430)."""
+    return jnp.reshape(sigma, (-1,))[0]
+
+
+def _filters(cfg: DAUConvSettings, sigma_value):
+    return gaussian_filters(
+        sigma_value,
+        size=cfg.blur_size,
+        single_dim_kernel=cfg.single_dim_kernel,
+        forbid_positive_dim1=cfg.forbid_positive_dim1,
+        unit_normalization=cfg.unit_normalization,
+        square_unit_normalization=cfg.square_unit_normalization,
+        dtype=jnp.dtype(jnp.result_type(sigma_value, jnp.float32)),
+    )
+
+
+def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
+    if cfg.engine == "pallas":
+        from ..kernels.forward import aggregate_forward_pallas
+        return aggregate_forward_pallas(
+            x_blur, w, mu1, mu2, cfg.kernel_size, cfg.use_interpolation)
+    return xla_engine.aggregate_forward(
+        x_blur, w, mu1, mu2, cfg.kernel_size, cfg.use_interpolation)
+
+
+def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
+    w3, mu13, mu23, _ = _squeeze_params(w, mu1, mu2)
+    mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
+    if mask is not None:
+        w3 = w3 * mask
+    filt = _filters(cfg, _sigma_scalar(sigma))["w"]
+    x_blur = depthwise_blur(x, filt)
+    return _aggregate(cfg, x_blur, w3, mu13, mu23)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def dau_conv2d_op(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
+    """Displaced Aggregation Unit convolution.
+
+    Args:
+      cfg: static `DAUConvSettings`.
+      x: (N, S, H, W) input, NCHW.
+      w, mu1, mu2: unit parameters, (1, S, G, F) (reference layout,
+        dau_conv.py:378-385) or (S, G, F).
+      sigma: layer-shared Gaussian width; any shape broadcastable from a
+        scalar (the reference passes it tiled to (1, S, G, F)).
+
+    Returns: (N, F, H, W).
+    """
+    return _forward_impl(cfg, x, w, mu1, mu2, sigma)
+
+
+def _fwd_rule(cfg, x, w, mu1, mu2, sigma):
+    return _forward_impl(cfg, x, w, mu1, mu2, sigma), (x, w, mu1, mu2, sigma)
+
+
+def _reduce_to_shape(g, shape):
+    """Sum-reduce a full gradient back to a broadcast-origin shape."""
+    if g.shape == tuple(shape):
+        return g
+    ndiff = g.ndim - len(shape)
+    if ndiff > 0:
+        g = jnp.sum(g, axis=tuple(range(ndiff)))
+    axes = tuple(i for i, (gd, sd) in enumerate(zip(g.shape, shape)) if sd != gd)
+    if axes:
+        g = jnp.sum(g, axis=axes, keepdims=True)
+    return g.reshape(shape)
+
+
+def _bwd_rule(cfg: DAUConvSettings, res, gy):
+    x, w, mu1, mu2, sigma = res
+    w3, mu13, mu23, had_lead = _squeeze_params(w, mu1, mu2)
+    s_ch, g_ch, f_ch = w3.shape
+    mask = _unit_mask(s_ch, g_ch, f_ch, cfg.number_units_ignore, w3.dtype)
+    w3m = w3 * mask if mask is not None else w3
+
+    sigma_value = _sigma_scalar(sigma)
+    filts = _filters(cfg, sigma_value)
+
+    # ---- input gradient: the forward engine applied to the error with
+    # S<->F transposed params, negated offsets, and the mirrored blur filter
+    # (reference base_dau_conv_layer.cu:294-325).
+    err_blur = depthwise_blur(gy, filts["error"])
+    dx = _aggregate(
+        cfg, err_blur,
+        jnp.transpose(w3m, (2, 1, 0)),
+        -jnp.transpose(mu13, (2, 1, 0)),
+        -jnp.transpose(mu23, (2, 1, 0)),
+    )
+
+    # ---- parameter gradients: blur x with the derivative filters, build the
+    # position table (conv-backward-filter), tap-gather per unit
+    # (reference base_dau_conv_layer.cu:203-241 + finalize :330-356).
+    gy_for_params = gy
+    if cfg.unit_testing:
+        h, w_sp = gy.shape[-2:]
+        gy_for_params = gy * edge_gradient_mask(h, w_sp, gy.dtype)
+
+    filter_names = ["w", "dmu1", "dmu2"] + (["dsigma"] if cfg.compute_sigma_grad else [])
+    fstack = jnp.stack([filts[k] for k in filter_names])  # (M, kb, kb)
+    m = fstack.shape[0]
+    n, _, h, w_sp = x.shape
+    xb = depthwise_blur(x, fstack)                 # (N, S*M, H, W)
+    xb = xb.reshape(n, s_ch, m, h, w_sp)
+    xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
+
+    table = xla_engine.grad_tables(xb, gy_for_params, cfg.kernel_size)
+    ty, tx = xla_engine.tap_vectors(mu13, mu23, cfg.kernel_size,
+                                    cfg.use_interpolation)
+    grads = xla_engine.tap_gather(table, ty, tx)   # (M, S, G, F)
+
+    lr = jnp.asarray(cfg.mu_learning_rate_factor, grads.dtype)
+    dw = grads[0]
+    dmu1 = grads[1] * w3m * lr
+    dmu2 = grads[2] * w3m * lr
+    if cfg.compute_sigma_grad:
+        dsigma_full = grads[3] * w3m
+    else:
+        dsigma_full = jnp.zeros_like(w3)
+
+    if mask is not None:
+        # Ignored dummy units receive no gradient (reference zeroes them,
+        # base_dau_conv_layer.cu:349-353); mu/sigma grads are already zero
+        # via the masked w multiplication.
+        dw = dw * mask
+
+    if had_lead:
+        dw, dmu1, dmu2, dsigma_full = (a[None] for a in (dw, dmu1, dmu2, dsigma_full))
+    dsigma = _reduce_to_shape(dsigma_full, sigma.shape)
+    return (dx.astype(x.dtype), dw.astype(w.dtype), dmu1.astype(mu1.dtype),
+            dmu2.astype(mu2.dtype), dsigma.astype(sigma.dtype))
+
+
+dau_conv2d_op.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,166 @@
+"""Gaussian aggregation-kernel precompute (pure jnp, fused by XLA).
+
+TPU-native replacement for the reference's GPU kernel-precompute pipeline
+(`BaseDAUKernelCompute::get_kernels`, reference
+src/dau_conv/base_dau_conv_layer.cu:537-710): evaluates the layer-shared
+Gaussian blur filter and its three analytic derivative filters
+(d/dmu1, d/dmu2, d/dsigma) on a (K x K) grid, applies unit-sum (or
+square-sum) normalization with the quotient-rule correction, and produces
+the mirrored filter used for error backprop.
+
+The reference recomputes these only when sigma changes
+(base_dau_conv_layer.cpp:415-434); under jit the whole precompute is ~40
+fused VPU ops and is recomputed each step at negligible cost (and stays
+differentiable w.r.t. sigma).
+
+Filter-size policy: the reference C++ sizes the blur kernel as
+2*ceil(5*sigma)+1 (base_dau_conv_layer.cpp:146-147) while its numpy oracle
+always uses 9x9 (plugins/tensorflow/tests/dau_conv_test.py:178). For
+sigma=0.5 (the only tested/default value) the two agree to ~1e-14 since the
+Gaussian vanishes beyond 5*sigma. Under jit the size must be static, so we
+default to the reference-C++ rule evaluated on the *concrete* sigma at trace
+time, with a floor of 9 to stay oracle-exact for small sigma.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def blur_kernel_size(sigma: float, min_size: int = 9) -> int:
+    """Static blur-filter size, reference rule 2*ceil(5*sigma)+1.
+
+    Mirrors reference base_dau_conv_layer.cpp:146-147; `min_size=9` keeps
+    parity with the numpy oracle's fixed 9x9 grid for small sigma. Must be
+    called on a concrete (non-traced) sigma at layer-construction time.
+    """
+    size = 2 * int(math.ceil(5.0 * float(sigma))) + 1
+    size = max(size, min_size)
+    if size > 33:
+        # Reference hard limit: blur filter <= 17x17 (convolve.cu:40). We are
+        # not bound by CUDA constant memory, but enormous sigmas indicate a
+        # config error; cap generously.
+        raise ValueError(
+            f"sigma={sigma} requires a {size}x{size} blur filter; max supported is 33x33"
+        )
+    return size
+
+
+def gaussian_filters(
+    sigma: jax.Array,
+    size: int = 9,
+    *,
+    single_dim_kernel: bool = False,
+    forbid_positive_dim1: bool = False,
+    unit_normalization: bool = True,
+    square_unit_normalization: bool = False,
+    dtype=jnp.float32,
+):
+    """Build the blur filter and its derivative filters.
+
+    Returns a dict with keys: ``w`` (normalized blur filter), ``dmu1``,
+    ``dmu2``, ``dsigma`` (quotient-rule-corrected derivative filters) and
+    ``error`` (the 180-degree-rotated blur filter used for input-gradient
+    backprop). All shaped (size, size), row = y axis, col = x axis.
+
+    Semantics pinned to the reference numpy oracle `_get_filters`
+    (dau_conv_test.py:177-220) and the GPU precompute
+    (base_dau_conv_layer.cu:402-448, :605-683):
+
+    - ``g = exp(-(x^2+y^2) / (2 sigma^2))`` on an integer grid centred at
+      size//2; x varies along columns, y along rows.
+    - ``single_dim_kernel`` zeroes all rows except the centre row
+      (1D DAU along x; base_dau_conv_layer.cu:432-434).
+    - ``forbid_positive_dim1`` zeroes x > 0 (base_dau_conv_layer.cu:436-438).
+    - normalization divides by sum(g) (or sum(g^2) when
+      ``square_unit_normalization``), and derivative filters get the quotient
+      rule correction: d_norm = d/Z - g_norm * (sum(d)/Z).
+    """
+    sigma = jnp.asarray(sigma, dtype=dtype).reshape(())
+    c = size // 2
+    x = jnp.arange(size, dtype=dtype)[None, :] - c  # columns
+    y = jnp.arange(size, dtype=dtype)[:, None] - c  # rows
+    x = jnp.broadcast_to(x, (size, size))
+    y = jnp.broadcast_to(y, (size, size))
+    r2 = x * x + y * y
+
+    sigma2_inv = 1.0 / (sigma * sigma)
+    g = jnp.exp(-r2 * (0.5 * sigma2_inv))
+
+    if single_dim_kernel:
+        g = jnp.where(y == 0, g, 0.0)
+    if forbid_positive_dim1:
+        g = jnp.where(x > 0, 0.0, g)
+
+    d_mu1 = x * sigma2_inv * g
+    d_mu2 = y * sigma2_inv * g
+    d_sigma = r2 * (sigma2_inv / sigma) * g
+
+    if square_unit_normalization:
+        # Reference square-norm variant (base_dau_conv_layer.cu:605-655):
+        # normalize by the sum of squares.
+        z = jnp.sum(g * g)
+    elif unit_normalization:
+        z = jnp.sum(g)
+    else:
+        z = jnp.asarray(1.0, dtype)
+
+    sum_mu1 = jnp.sum(d_mu1) / z
+    sum_mu2 = jnp.sum(d_mu2) / z
+    sum_sigma = jnp.sum(d_sigma) / z
+
+    g_n = g / z
+    # Quotient-rule correction of the normalized filter's derivatives
+    # (oracle dau_conv_test.py:214-216, GPU axpby path
+    # base_dau_conv_layer.cu:680-683).
+    d_mu1_n = d_mu1 / z - g_n * sum_mu1
+    d_mu2_n = d_mu2 / z - g_n * sum_mu2
+    d_sigma_n = d_sigma / z - g_n * sum_sigma
+
+    error = jnp.flip(jnp.flip(g_n, axis=0), axis=1)
+
+    return {
+        "w": g_n,
+        "dmu1": d_mu1_n,
+        "dmu2": d_mu2_n,
+        "dsigma": d_sigma_n,
+        "error": error,
+    }
+
+
+def depthwise_blur(x: jax.Array, filt: jax.Array,
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Correlate every (n, channel) plane of NCHW ``x`` with ``filt``, zero pad.
+
+    TPU-native replacement for the reference's ArrayFire-derived
+    `caffe_gpu_convolve2` blur engine (convolve.cu:48-131): one XLA grouped
+    convolution (feature_group_count = C) which the TPU backend lowers
+    straight onto the MXU. ``filt`` may be (kh, kw) for a single shared
+    filter or (m, kh, kw) to apply m filters per channel (the reference's
+    filter-batch K=4 mode used to blur with all derivative kernels in one
+    pass, convolve.cu:194-198) - returning (N, C*m, H, W) with the m results
+    of channel c at [c*m : (c+1)*m].
+    """
+    n, chan, h, w = x.shape
+    single = filt.ndim == 2
+    if single:
+        filt = filt[None]
+    m, kh, kw = filt.shape
+    # rhs layout OIHW with feature_group_count=chan: O = chan*m, I = 1.
+    rhs = jnp.broadcast_to(filt[None], (chan, m, kh, kw)).reshape(chan * m, 1, kh, kw)
+    rhs = rhs.astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=chan,
+        precision=precision,
+    )
+    if single:
+        return out
+    return out

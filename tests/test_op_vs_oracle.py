@@ -1,0 +1,102 @@
+"""Differential tests: dau_conv2d_op vs the numpy oracle.
+
+Mirrors the reference's end-to-end suite (`test_DAUConvQuick` / `test_DAUConv`,
+dau_conv_test.py:418-465) at CPU-test-friendly sizes; fwd output, input grad
+and all four parameter grads are pinned at the reference tolerance policy.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
+
+from helpers import assert_matrix, oracle_fwd_bwd, random_case
+
+
+def run_case(N, W, H, S, F, units, max_kernel_size, max_offset_init, *,
+             num_ignore=0, use_interpolation=True, mu_lr=1.0, seed=0,
+             engine="xla"):
+    rng = np.random.default_rng(seed)
+    x, w, mu1, mu2, sigma, err = random_case(
+        rng, N=N, W=W, H=H, S=S, F=F, units=units,
+        max_kernel_size=max_kernel_size, max_offset_init=max_offset_init,
+        num_ignore=num_ignore)
+    cfg = DAUConvSettings(
+        kernel_size=max_kernel_size,
+        use_interpolation=use_interpolation,
+        number_units_ignore=num_ignore,
+        mu_learning_rate_factor=mu_lr,
+        unit_testing=True,
+        engine=engine,
+    )
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, (dx, dw, dmu1, dmu2, dsig) = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+
+    gt_fwd, gt_bwd = oracle_fwd_bwd(
+        x, w, mu1, mu2, sigma, err, num_ignore=num_ignore,
+        use_interpolation=use_interpolation, unit_testing=True)
+
+    assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
+    assert_matrix(np.asarray(dx), gt_bwd[0], "bwd_error")
+    assert_matrix(np.asarray(dw), gt_bwd[1], "bwd_w_grad")
+    assert_matrix(np.asarray(dmu1), gt_bwd[2] * mu_lr, "bwd_mu1_grad")
+    assert_matrix(np.asarray(dmu2), gt_bwd[3] * mu_lr, "bwd_mu2_grad")
+    assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
+
+
+# reference test_DAUConvQuick matrix, channel counts scaled down for the CPU
+# oracle (the oracle loops per unit); geometry cases preserved.
+QUICK_CASES = [
+    # image patch splitting at low N (W=65, H=8)
+    dict(N=2, W=65, H=8, S=5, F=4, units=(1, 2), max_kernel_size=9, max_offset_init=3),
+    # small batch
+    dict(N=1, W=8, H=8, S=4, F=4, units=(1, 2), max_kernel_size=9, max_offset_init=3),
+    dict(N=4, W=8, H=8, S=4, F=4, units=(2, 2), max_kernel_size=9, max_offset_init=3),
+    # kernel tier 17
+    dict(N=2, W=32, H=32, S=4, F=4, units=(2, 2), max_kernel_size=17, max_offset_init=6),
+    # dynamic-kernel-size case: large allowed kernel, small offsets
+    dict(N=2, W=16, H=16, S=4, F=4, units=(2, 2), max_kernel_size=17, max_offset_init=3),
+    # odd number of sub-features
+    dict(N=2, W=16, H=16, S=3, F=4, units=(2, 2), max_kernel_size=17, max_offset_init=3),
+    # tiny image
+    dict(N=2, W=6, H=6, S=4, F=8, units=(2, 1), max_kernel_size=17, max_offset_init=8),
+    # large kernel tier 33
+    dict(N=1, W=40, H=40, S=3, F=4, units=(2, 2), max_kernel_size=33, max_offset_init=10),
+]
+
+
+@pytest.mark.parametrize("case", QUICK_CASES, ids=lambda c: f"k{c['max_kernel_size']}_S{c['S']}_W{c['W']}x{c['H']}_N{c['N']}")
+def test_quick(case):
+    run_case(**case)
+
+
+def test_mu_learning_rate_factor():
+    run_case(N=1, W=8, H=8, S=3, F=4, units=(1, 2), max_kernel_size=9,
+             max_offset_init=3, mu_lr=500.0, seed=3)
+
+
+def test_single_unit_rounding():
+    # (1,1) units round up to 2 with one ignored dummy unit
+    # (reference test_DAUConvSingleUnit, dau_conv_test.py:631-633).
+    run_case(N=2, W=12, H=12, S=3, F=4, units=(1, 2), max_kernel_size=9,
+             max_offset_init=3, num_ignore=1, seed=4)
+
+
+def test_no_interpolation():
+    # reference test_DAUConvInterpolation (requires ALLOW_INTERPOLATION_OFF
+    # build; first-class here).
+    run_case(N=2, W=16, H=16, S=3, F=4, units=(2, 1), max_kernel_size=9,
+             max_offset_init=3, use_interpolation=False, seed=5)
+
+
+def test_kernel_tier_65():
+    run_case(N=1, W=70, H=34, S=2, F=2, units=(2, 1), max_kernel_size=65,
+             max_offset_init=20, seed=6)
