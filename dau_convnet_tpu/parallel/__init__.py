@@ -1,0 +1,13 @@
+from .mesh import P, batch_sharding, dau_param_spec, make_mesh, param_shardings
+from .train import TrainState, init_sharded, make_train_step
+
+__all__ = [
+    "P",
+    "batch_sharding",
+    "dau_param_spec",
+    "make_mesh",
+    "param_shardings",
+    "TrainState",
+    "init_sharded",
+    "make_train_step",
+]

@@ -1,0 +1,102 @@
+"""Sharded training-step builders (pjit-style, XLA collectives over ICI).
+
+Replaces nothing in the reference (which trains through TF sessions on one
+GPU); this is the TPU-native training harness for the DAU model zoo:
+one jitted train step whose inputs/outputs carry NamedShardings, so XLA
+partitions compute over the mesh and inserts psum/all-gather on ICI.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_sharding, param_shardings
+
+__all__ = ["TrainState", "make_train_step", "init_sharded"]
+
+
+class TrainState(tp.NamedTuple):
+    params: tp.Any
+    opt_state: tp.Any
+    step: jax.Array
+
+
+def softmax_xent(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def init_sharded(model, tx, mesh: Mesh, sample_input, rng=None,
+                 model_axis: str = "model"):
+    """Initialize model params + optimizer state with mesh shardings applied.
+
+    Returns (state, state_shardings).
+    """
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    variables = jax.eval_shape(model.init, rng, sample_input)
+    var_sh = param_shardings(variables, mesh, model_axis)
+
+    init_fn = jax.jit(model.init, out_shardings=var_sh)
+    variables = init_fn(rng, jax.device_put(sample_input, batch_sharding(mesh)))
+
+    params = variables["params"]
+    p_sh = var_sh["params"]
+    opt_state = tx.init(params)
+    # optimizer slots mirror param shardings; scalars replicated
+    opt_sh = _opt_shardings(opt_state, params, p_sh, mesh)
+    state = TrainState(params=params, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    sh = TrainState(params=p_sh, opt_state=opt_sh,
+                    step=NamedSharding(mesh, P()))
+    state = jax.device_put(state, sh)
+    return state, sh
+
+
+def _opt_shardings(opt_state, params, p_sh, mesh):
+    """Shard optimizer slots like their matching params (by tree structure)."""
+    flat_p, treedef_p = jax.tree_util.tree_flatten(params)
+    flat_sh = jax.tree_util.tree_flatten(p_sh)[0]
+    shape_to_sh = {}
+    for p, s in zip(flat_p, flat_sh):
+        shape_to_sh.setdefault((p.shape, p.dtype), s)
+
+    def leaf(x):
+        if hasattr(x, "shape") and (x.shape, x.dtype) in shape_to_sh and x.ndim > 0:
+            return shape_to_sh[(x.shape, x.dtype)]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf, opt_state)
+
+
+def make_train_step(model, tx, mesh: Mesh, state_shardings,
+                    loss_fn=softmax_xent, has_batch_stats: bool = False,
+                    donate: bool = True):
+    """Build a jitted, mesh-sharded train step.
+
+    step(state, batch=(x NCHW, labels)) -> (state, loss); x is sharded over
+    the 'data' axis, loss replicated. With tensor parallelism on, the F-axis
+    param shardings flow through the conv and XLA inserts the collectives.
+    """
+    data_sh = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def step(state: TrainState, x, labels):
+        def loss_of(params):
+            logits = model.apply({"params": params}, x)
+            return loss_fn(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, data_sh, data_sh),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -76,12 +76,18 @@ def run_layer_case(N, W, H, S, F, units, max_kernel_size, max_offset_init,
         single_dim=single_dim, forbid_positive=forbid_positive,
         unit_testing=True)
 
+    # the layer clips mu inside apply; clip has zero gradient outside the
+    # bounds (same as the reference's tf.clip_by_value, dau_conv.py:190-191),
+    # so expected mu grads are masked at clipped positions
+    mu1_pass = ((mu1 > -bound) & (mu1 < bound)).astype(np.float64)
+    mu2_pass = ((mu2 > -bound) & (mu2 < bound)).astype(np.float64)
+
     assert_matrix(y, gt_fwd, "fwd_output")
     assert_matrix(dx, gt_bwd[0], "bwd_error")
     assert_matrix(g["weights"], gt_bwd[1], "bwd_w_grad")
-    assert_matrix(g["mu1"], gt_bwd[2] * mu_lr, "bwd_mu1_grad")
+    assert_matrix(g["mu1"], gt_bwd[2] * mu_lr * mu1_pass, "bwd_mu1_grad")
     if not single_dim:
-        assert_matrix(g["mu2"], gt_bwd[3] * mu_lr, "bwd_mu2_grad")
+        assert_matrix(g["mu2"], gt_bwd[3] * mu_lr * mu2_pass, "bwd_mu2_grad")
     if sigma_trainable:
         assert_matrix(g["sigma"], np.sum(gt_bwd[4], keepdims=True).reshape(1),
                       "bwd_sigma_grad")
