@@ -21,15 +21,32 @@ import jax
 import jax.numpy as jnp
 
 
-def time_step(fn, args, iters=100, warmup=10):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def time_chained(make_step, carry, iters=100):
+    """Per-iteration wall time of `iters` data-dependent on-device steps.
+
+    Each step's outputs feed the next step's inputs inside one jitted
+    lax.scan, so the device must execute them serially - repeated identical
+    dispatches can be elided/overlapped by the runtime (observed on the axon
+    tunnel: naive loops implied > 1 PFLOP/s on a v5e chip). Fixed costs
+    (dispatch, transfer) are removed by differencing two lengths.
+    """
+    def body(c, _):
+        return make_step(c), None
+
+    runs = {}
+    for n in (iters // 5, iters):
+        fn = jax.jit(lambda c, n=n: jax.lax.scan(body, c, None, length=n)[0])
+        out = fn(carry)
+        jax.block_until_ready(out)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(carry)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        runs[n] = best
+    n1, n2 = sorted(runs)
+    return (runs[n2] - runs[n1]) / (n2 - n1)
 
 
 def main():
@@ -57,34 +74,45 @@ def main():
     mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), dtype)
     sigma = jnp.full((1, S, G, F), 0.5, dtype)
 
+    # static_max_offset=3 mirrors what the reference's runtime tier dispatch
+    # achieves on this config (offsets init +-3 on k=9 -> smallest tier);
+    # sigma is not trained by default in the reference, so no sigma table.
     cfg = DAUConvSettings(kernel_size=9, mu_learning_rate_factor=1.0,
+                          static_max_offset=3.0, compute_sigma_grad=False,
                           engine=args.engine)
 
-    @jax.jit
-    def dau_step(x, w, mu1, mu2, sigma, err):
-        def f(x, w, mu1, mu2, sigma):
-            y = dau_conv2d_op(cfg, x, jnp.clip(w, -1e9, 1e9),
+    lr = jnp.asarray(1e-6, dtype)
+
+    def dau_step(carry):
+        x, w, mu1, mu2 = carry
+
+        def f(x, w, mu1, mu2):
+            y = dau_conv2d_op(cfg, x, w,
                               jnp.clip(mu1, -bound, bound),
                               jnp.clip(mu2, -bound, bound), sigma)
             return jnp.vdot(y, err)
-        l, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(x, w, mu1, mu2, sigma)
-        return l, grads
+
+        _, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(x, w, mu1, mu2)
+        # SGD-like update chains each iteration to the previous one
+        return tuple(a - lr * g for a, g in zip(carry, grads))
 
     # baseline: plain 3x3 conv, fwd+bwd on identical shapes
     k3 = jnp.asarray(rng.standard_normal((F, S, 3, 3)) * 0.1, dtype)
 
-    @jax.jit
-    def conv_step(x, k3, err):
-        def f(x, k3):
+    def conv_step(carry):
+        x, k = carry
+
+        def f(x, k):
             y = jax.lax.conv_general_dilated(
-                x, k3, (1, 1), ((1, 1), (1, 1)),
+                x, k, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
             return jnp.vdot(y, err)
-        l, grads = jax.value_and_grad(f, argnums=(0, 1))(x, k3)
-        return l, grads
 
-    t_dau = time_step(dau_step, (x, w, mu1, mu2, sigma, err), args.iters)
-    t_conv = time_step(conv_step, (x, k3, err), args.iters)
+        _, grads = jax.value_and_grad(f, argnums=(0, 1))(x, k)
+        return tuple(a - lr * g for a, g in zip(carry, grads))
+
+    t_dau = time_chained(dau_step, (x, w, mu1, mu2), args.iters)
+    t_conv = time_chained(conv_step, (x, k3), args.iters)
 
     ips = N / t_dau
     print(json.dumps({

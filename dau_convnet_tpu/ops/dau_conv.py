@@ -28,6 +28,8 @@ the forward is linear in both.
 from __future__ import annotations
 
 import dataclasses
+import math
+import typing as tp
 from functools import partial
 
 import jax
@@ -65,6 +67,12 @@ class DAUConvSettings:
     blur_size: int = 9                   # static blur-filter size (from sigma)
     compute_sigma_grad: bool = True
     engine: str = "xla"                  # 'xla' | 'pallas'
+    # Static promise that |mu| <= static_max_offset, shrinking the synthesized
+    # aggregation kernel. This is the trace-time replacement for the
+    # reference's *runtime* kernel-tier dispatch (it reads amax(mu) from the
+    # device each step and re-picks the CUDA kernel, dau_conv_op.cpp:223-256;
+    # under jit shapes must be static). None = derive from kernel_size.
+    static_max_offset: tp.Optional[float] = None
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0
@@ -80,7 +88,16 @@ class DAUConvSettings:
     @property
     def max_offset(self) -> float:
         """Largest representable |mu| (the layer clips to this)."""
-        return self.kernel_size // 2 - self.component_border_bound
+        bound = self.kernel_size // 2 - self.component_border_bound
+        if self.static_max_offset is not None:
+            bound = min(bound, self.static_max_offset)
+        return bound
+
+    @property
+    def synth_kernel_size(self) -> int:
+        """Size of the synthesized aggregation kernel: bilinear taps reach
+        floor(max_offset) + 1 in each direction."""
+        return 2 * (int(math.floor(self.max_offset)) + 1) + 1
 
 
 def edge_gradient_mask(h: int, w: int, dtype=jnp.float32):
@@ -141,9 +158,9 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
     if cfg.engine == "pallas":
         from ..kernels.forward import aggregate_forward_pallas
         return aggregate_forward_pallas(
-            x_blur, w, mu1, mu2, cfg.kernel_size, cfg.use_interpolation)
+            x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
     return xla_engine.aggregate_forward(
-        x_blur, w, mu1, mu2, cfg.kernel_size, cfg.use_interpolation)
+        x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
 
 
 def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
@@ -227,8 +244,13 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     xb = xb.reshape(n, s_ch, m, h, w_sp)
     xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
 
-    table = xla_engine.grad_tables(xb, gy_for_params, cfg.kernel_size)
-    ty, tx = xla_engine.tap_vectors(mu13, mu23, cfg.kernel_size,
+    if cfg.engine == "pallas":
+        from ..kernels.backward import grad_tables_pallas
+        table = grad_tables_pallas(xb, gy_for_params, cfg.synth_kernel_size)
+        table = table.astype(xb.dtype)
+    else:
+        table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size)
+    ty, tx = xla_engine.tap_vectors(mu13, mu23, cfg.synth_kernel_size,
                                     cfg.use_interpolation)
     grads = xla_engine.tap_gather(table, ty, tx)   # (M, S, G, F)
 

@@ -50,26 +50,27 @@ __all__ = [
 
 
 def synth_kernel_size(max_kernel_size: int) -> int:
-    """Size of the synthesized aggregation kernel (see module docstring)."""
+    """Default synthesized-kernel size for a layer kernel bound (see module
+    docstring); `DAUConvSettings.synth_kernel_size` computes the tight size
+    when a static offset bound is known."""
     if max_kernel_size % 2 != 1:
         raise ValueError(f"max_kernel_size must be odd, got {max_kernel_size}")
     return max_kernel_size + 2
 
 
-def tap_vectors(mu1, mu2, max_kernel_size: int, use_interpolation: bool):
+def tap_vectors(mu1, mu2, ks: int, use_interpolation: bool):
     """One-hot bilinear tap vectors along kernel x / y axes.
 
     Args:
       mu1, mu2: (S, G, F) float displacements (x and y).
-      max_kernel_size: the layer's static kernel-size bound k.
+      ks: synthesized-kernel size; must cover floor(|mu|) + 1.
       use_interpolation: bilinear (4-tap) vs floor-only (1-tap) placement.
 
     Returns:
-      (ty, tx): each (S, G, F, ks) with ks = k + 2, where
+      (ty, tx): each (S, G, F, ks), where
       sum_{ky,kx} ty[...,ky] * tx[...,kx] * x(i+ky-c, j+kx-c) equals the
       (bilinearly interpolated) read of x at (i + mu2, j + mu1).
     """
-    ks = synth_kernel_size(max_kernel_size)
     c = ks // 2
     dtype = mu1.dtype
     f1 = jnp.floor(mu1)
@@ -95,7 +96,7 @@ def synthesize_kernel(w, ty, tx, precision=jax.lax.Precision.HIGHEST):
                       precision=precision, preferred_element_type=w.dtype)
 
 
-def aggregate_forward(x_blur, w, mu1, mu2, max_kernel_size: int,
+def aggregate_forward(x_blur, w, mu1, mu2, ks: int,
                       use_interpolation: bool = True,
                       precision=jax.lax.Precision.HIGHEST):
     """Offset-and-sum over (s, g) units as one dense conv on the MXU.
@@ -107,9 +108,8 @@ def aggregate_forward(x_blur, w, mu1, mu2, max_kernel_size: int,
 
     Returns: (N, F, H, W).
     """
-    ty, tx = tap_vectors(mu1, mu2, max_kernel_size, use_interpolation)
+    ty, tx = tap_vectors(mu1, mu2, ks, use_interpolation)
     kern = synthesize_kernel(w, ty, tx)  # (S, F, ks, ks)
-    ks = kern.shape[-1]
     c = ks // 2
     rhs = jnp.transpose(kern, (1, 0, 2, 3))  # OIHW = (F, S, ks, ks)
     return jax.lax.conv_general_dilated(
@@ -121,7 +121,7 @@ def aggregate_forward(x_blur, w, mu1, mu2, max_kernel_size: int,
     )
 
 
-def grad_tables(x_blur_k, err, max_kernel_size: int,
+def grad_tables(x_blur_k, err, ks: int,
                 precision=jax.lax.Precision.HIGHEST):
     """Full position-table of parameter gradients via conv-backward-filter.
 
@@ -140,7 +140,6 @@ def grad_tables(x_blur_k, err, max_kernel_size: int,
     """
     m, n, s, h, w_sp = x_blur_k.shape
     f = err.shape[1]
-    ks = synth_kernel_size(max_kernel_size)
     c = ks // 2
     # (M, N, S, H, W) -> (M*S, N, H, W): batch-major m, then s.
     lhs = jnp.transpose(x_blur_k, (0, 2, 1, 3, 4)).reshape(m * s, n, h, w_sp)

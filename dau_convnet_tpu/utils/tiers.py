@@ -1,0 +1,48 @@
+"""Kernel-tier selection: trace-time replacement of the reference dispatcher.
+
+The reference picks a CUDA kernel tier at every op call by reading
+max|mu| back from the device (`caffe_gpu_amax` -> snap kernel to
+{9, 17, 33, 65}, dau_conv_op.cpp:223-256 and dau_conv_forward.cpp:147-159).
+Under XLA's compilation model that data-dependent dispatch becomes a
+*static* choice: callers who know their offsets are bounded pick a tier at
+trace time (`DAUConvSettings.static_max_offset`), optionally re-jitting
+between epochs if offsets grow (`tier_for_params` on concrete params).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = ["KERNEL_TIERS", "snap_kernel_tier", "tier_for_params",
+           "MAX_SUPPORTED_OFFSET"]
+
+# same tiers as the reference CUDA engine (dau_conv_forward.cpp:147-159)
+KERNEL_TIERS = (9, 17, 33, 65)
+
+# reference hard limit: offsets beyond 32 px are unsupported
+# (dau_conv_forward.cpp:156-158). We keep the same documented contract.
+MAX_SUPPORTED_OFFSET = 32.0
+
+
+def snap_kernel_tier(max_offset: float) -> int:
+    """Smallest tier whose kernel covers the given absolute offset bound
+    (reference rule: kernel >= 2*offset + 1, dau_conv_forward.cpp:163-164)."""
+    if max_offset > MAX_SUPPORTED_OFFSET:
+        raise ValueError(
+            f"max offset {max_offset} exceeds the supported bound "
+            f"{MAX_SUPPORTED_OFFSET} (reference tier limit)")
+    need = 2 * int(math.ceil(max_offset)) + 1
+    for tier in KERNEL_TIERS:
+        if tier >= need:
+            return tier
+    return KERNEL_TIERS[-1]
+
+
+def tier_for_params(mu1, mu2) -> int:
+    """Tier for concrete (host) mu arrays - the reference's amax dispatch,
+    evaluated between jit regions instead of inside them."""
+    bound = float(max(np.abs(np.asarray(mu1)).max(),
+                      np.abs(np.asarray(mu2)).max()))
+    return snap_kernel_tier(bound)

@@ -1,0 +1,84 @@
+"""Pallas kernels vs the XLA engine and the oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dau_convnet_tpu.kernels import (
+    aggregate_forward_pallas,
+    dau_forward_fused_pallas,
+    grad_tables_pallas,
+)
+from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op, xla_engine
+from dau_convnet_tpu.ops.gaussian import depthwise_blur, gaussian_filters
+
+from helpers import assert_matrix, oracle_fwd_bwd, random_case
+
+
+def _params(rng, S, G, F, bound):
+    w = jnp.asarray(rng.standard_normal((S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-bound, bound, (S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-bound, bound, (S, G, F)), jnp.float32)
+    return w, mu1, mu2
+
+
+def test_aggregate_matches_xla_engine():
+    rng = np.random.default_rng(0)
+    S, G, F, N, H, W, ks = 5, 2, 6, 2, 10, 12, 9
+    w, mu1, mu2 = _params(rng, S, G, F, 3.5)
+    xb = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+
+    y_pl = jax.jit(lambda *a: aggregate_forward_pallas(*a, ks))(xb, w, mu1, mu2)
+    y_xla = jax.jit(lambda *a: xla_engine.aggregate_forward(*a, ks))(xb, w, mu1, mu2)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_forward_matches_oracle():
+    rng = np.random.default_rng(1)
+    x, w, mu1, mu2, sigma, err = random_case(
+        rng, N=2, W=12, H=10, S=3, F=4, units=(1, 2), max_kernel_size=9,
+        max_offset_init=3)
+    filt = gaussian_filters(jnp.float32(sigma), size=9)["w"]
+    ks = DAUConvSettings(kernel_size=9).synth_kernel_size
+
+    y = jax.jit(lambda *a: dau_forward_fused_pallas(*a, filt, ks))(
+        jnp.asarray(x), jnp.asarray(w[0]), jnp.asarray(mu1[0]), jnp.asarray(mu2[0]))
+    gt_fwd, _ = oracle_fwd_bwd(x, w, mu1, mu2, sigma, err, unit_testing=False)
+    assert_matrix(np.asarray(y), gt_fwd, "pallas_fused_fwd")
+
+
+def test_grad_tables_match_xla_engine():
+    rng = np.random.default_rng(2)
+    M, N, S, F, H, W, ks = 3, 2, 4, 5, 8, 9, 9
+    xbk = jnp.asarray(rng.random((M, N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+
+    t_pl = jax.jit(lambda *a: grad_tables_pallas(*a, ks))(xbk, err)
+    t_xla = jax.jit(lambda *a: xla_engine.grad_tables(*a, ks))(xbk, err)
+    np.testing.assert_allclose(np.asarray(t_pl), np.asarray(t_xla),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_engine_end_to_end_vs_oracle():
+    rng = np.random.default_rng(3)
+    x, w, mu1, mu2, sigma, err = random_case(
+        rng, N=2, W=9, H=8, S=3, F=4, units=(1, 2), max_kernel_size=9,
+        max_offset_init=3)
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True, engine="pallas")
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, (dx, dw, dmu1, dmu2, dsig) = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    gt_fwd, gt_bwd = oracle_fwd_bwd(x, w, mu1, mu2, sigma, err, unit_testing=True)
+
+    assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
+    assert_matrix(np.asarray(dx), gt_bwd[0], "bwd_error")
+    assert_matrix(np.asarray(dw), gt_bwd[1], "bwd_w_grad")
+    assert_matrix(np.asarray(dmu1), gt_bwd[2], "bwd_mu1_grad")
+    assert_matrix(np.asarray(dmu2), gt_bwd[3], "bwd_mu2_grad")
+    assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
