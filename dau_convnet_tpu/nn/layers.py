@@ -137,6 +137,20 @@ class DAUConv2d(nn.Module):
     mu2_initializer: tp.Optional[tp.Callable] = None
     sigma_initializer: tp.Optional[tp.Callable] = None
     bias_initializer: tp.Callable = nn.initializers.zeros
+    # constraints are applied to the parameter value before use (reference
+    # applies tf constraints on assignment; functionally equivalent here).
+    weight_constraint: tp.Optional[tp.Callable] = None
+    mu1_constraint: tp.Optional[tp.Callable] = None
+    mu2_constraint: tp.Optional[tp.Callable] = None
+    sigma_constraint: tp.Optional[tp.Callable] = None
+    bias_constraint: tp.Optional[tp.Callable] = None
+    # regularizers: collected via `regularization_loss(params)` (TF variable
+    # collections have no flax analogue; add the returned scalar to the loss)
+    weight_regularizer: tp.Optional[tp.Callable] = None
+    mu1_regularizer: tp.Optional[tp.Callable] = None
+    mu2_regularizer: tp.Optional[tp.Callable] = None
+    sigma_regularizer: tp.Optional[tp.Callable] = None
+    bias_regularizer: tp.Optional[tp.Callable] = None
     mu_learning_rate_factor: float = 500.0
     dau_unit_border_bound: float = 0.01
     dau_unit_single_dim: bool = False
@@ -166,6 +180,21 @@ class DAUConv2d(nn.Module):
     def dau_param_shape(self, in_channels: int):
         return (1, in_channels, self.num_dau_units_all, self.filters)
 
+    def regularization_loss(self, params) -> jax.Array:
+        """Sum of the configured per-parameter regularizers over this layer's
+        param dict (reference: TF regularization-loss collections,
+        dau_conv.py:387-440). Add the result to your training loss."""
+        pairs = (("weights", self.weight_regularizer),
+                 ("mu1", self.mu1_regularizer),
+                 ("mu2", self.mu2_regularizer),
+                 ("sigma", self.sigma_regularizer),
+                 ("bias", self.bias_regularizer))
+        total = jnp.zeros(())
+        for name, reg in pairs:
+            if reg is not None and name in params:
+                total = total + reg(params[name])
+        return total
+
     @nn.compact
     def __call__(self, inputs):
         if inputs.ndim != 4:
@@ -189,6 +218,15 @@ class DAUConv2d(nn.Module):
         mu1 = self.param("mu1", mu1_init, pshape, self.dtype)
         mu2 = self.param("mu2", mu2_init, pshape, self.dtype)
         sigma = self.param("sigma", sigma_init, (1,), self.dtype)
+
+        if self.weight_constraint is not None:
+            w = self.weight_constraint(w)
+        if self.mu1_constraint is not None:
+            mu1 = self.mu1_constraint(mu1)
+        if self.mu2_constraint is not None:
+            mu2 = self.mu2_constraint(mu2)
+        if self.sigma_constraint is not None:
+            sigma = self.sigma_constraint(sigma)
 
         if not self.dau_sigma_trainable:
             sigma = jax.lax.stop_gradient(sigma)
@@ -248,9 +286,13 @@ def dau_conv2d(inputs, filters, dau_units, max_kernel_size, *,
                activation_fn=nn.relu, normalizer_fn=None,
                normalizer_params=None,
                weights_initializer=nn.initializers.normal(stddev=0.1),
-               mu1_initializer=None, mu2_initializer=None,
-               sigma_initializer=None,
+               weights_regularizer=None, weights_constraint=None,
+               mu1_initializer=None, mu1_regularizer=None, mu1_constraint=None,
+               mu2_initializer=None, mu2_regularizer=None, mu2_constraint=None,
+               sigma_initializer=None, sigma_regularizer=None,
+               sigma_constraint=None,
                biases_initializer=nn.initializers.zeros,
+               biases_regularizer=None, biases_constraint=None,
                dau_unit_border_bound=0.01,
                dau_sigma_trainable=False,
                dau_mu_interpolation=True,
@@ -266,9 +308,17 @@ def dau_conv2d(inputs, filters, dau_units, max_kernel_size, *,
         strides=stride, data_format=data_format, activation=None,
         use_bias=use_bias,
         weight_initializer=weights_initializer,
+        weight_regularizer=weights_regularizer,
+        weight_constraint=weights_constraint,
         mu1_initializer=mu1_initializer, mu2_initializer=mu2_initializer,
+        mu1_regularizer=mu1_regularizer, mu1_constraint=mu1_constraint,
+        mu2_regularizer=mu2_regularizer, mu2_constraint=mu2_constraint,
         sigma_initializer=sigma_initializer,
+        sigma_regularizer=sigma_regularizer,
+        sigma_constraint=sigma_constraint,
         bias_initializer=biases_initializer or nn.initializers.zeros,
+        bias_regularizer=biases_regularizer,
+        bias_constraint=biases_constraint,
         mu_learning_rate_factor=mu_learning_rate_factor,
         dau_unit_border_bound=dau_unit_border_bound,
         dau_sigma_trainable=dau_sigma_trainable,

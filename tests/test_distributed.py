@@ -1,0 +1,101 @@
+"""Multi-device tests: sharded training numerics match single-device.
+
+The reference has no distributed layer (SURVEY.md section 2.3); these tests
+pin the TPU-native addition: DP and DPxTP sharded training steps produce the
+same numbers as the unsharded computation, with XLA inserting the
+collectives. Runs on the 8 virtual CPU devices from conftest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from flax import linen as nn
+
+from dau_convnet_tpu.nn import DAUConv2d
+from dau_convnet_tpu.parallel import (
+    batch_sharding,
+    init_sharded,
+    make_mesh,
+    make_train_step,
+    param_shardings,
+)
+
+
+class TinyDAUNet(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = DAUConv2d(filters=8, dau_units=(2, 1), max_kernel_size=9,
+                      use_bias=False)(x)
+        x = nn.relu(x)
+        x = x.mean(axis=(2, 3))
+        return nn.Dense(4)(x)
+
+
+def _data(batch=8):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 3, 8, 8)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, (batch,)))
+    return x, y
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("model_par", [1, 2], ids=["dp", "dp_x_tp"])
+def test_sharded_step_matches_single_device(model_par):
+    model = TinyDAUNet()
+    x, y = _data()
+    tx = optax.sgd(0.1)
+
+    # single-device ground truth
+    params0 = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def step_single(params, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    loss_ref, grads_ref = step_single(params0, x, y)
+
+    # sharded
+    mesh = make_mesh(jax.devices()[:8], model=model_par)
+    state, sh = init_sharded(model, tx, mesh, x, rng=jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mesh, sh, donate=False)
+    state1, loss_sh = step(state, x, y)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                               rtol=2e-5, atol=2e-6)
+
+    # one more step must also agree with the single-device optimizer path
+    opt_state = tx.init(params0)
+    updates, _ = tx.update(grads_ref, opt_state)
+    params1_ref = optax.apply_updates(params0, updates)
+    for k in ("weights", "mu1", "mu2"):
+        a = np.asarray(state1.params["DAUConv2d_0"][k])
+        b = np.asarray(params1_ref["params"]["DAUConv2d_0"][k])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_param_shardings_shard_f_axis():
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    model = TinyDAUNet()
+    x, _ = _data()
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    sh = param_shardings(params, mesh)
+    dau_w = sh["params"]["DAUConv2d_0"]["weights"]
+    assert dau_w.spec == ("model",) or tuple(dau_w.spec) == (None, None, None, "model")
+    sigma = sh["params"]["DAUConv2d_0"]["sigma"]
+    assert tuple(sigma.spec) == ()
+
+
+def test_batch_sharding_places_batch_on_data_axis():
+    mesh = make_mesh(jax.devices()[:8], model=1)
+    x, _ = _data(batch=8)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert xs.sharding.spec[0] == "data"

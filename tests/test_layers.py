@@ -182,3 +182,25 @@ def test_param_shapes_and_dummy_unit_zeroing():
     # dummy (last) unit weights are zero-initialized via ZeroNLast
     assert np.all(np.asarray(params["weights"])[:, :, -1, :] == 0.0)
     assert params["sigma"].shape == (1,)
+
+
+def test_constraints_and_regularizers():
+    import optax
+
+    def unit_norm_constraint(w):
+        return w / (jnp.abs(w).max() + 1e-9)
+
+    op = DAUConv2d(filters=4, dau_units=(2, 1), max_kernel_size=9,
+                   use_bias=False,
+                   weight_constraint=unit_norm_constraint,
+                   weight_regularizer=lambda w: 0.5 * jnp.sum(w ** 2),
+                   mu1_regularizer=lambda m: jnp.sum(jnp.abs(m)))
+    x = jnp.ones((1, 3, 8, 8), jnp.float32)
+    params = op.init(jax.random.PRNGKey(0), x)
+    y = op.apply(params, x)
+    assert y.shape == (1, 4, 8, 8)
+
+    reg = op.regularization_loss(params["params"])
+    expected = (0.5 * np.sum(np.asarray(params["params"]["weights"]) ** 2)
+                + np.sum(np.abs(np.asarray(params["params"]["mu1"]))))
+    np.testing.assert_allclose(float(reg), expected, rtol=1e-6)

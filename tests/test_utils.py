@@ -1,0 +1,105 @@
+"""Utility tests: tiers, math shims, gaussian filter properties, config."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dau_convnet_tpu.ops import DAUConvSettings, gaussian_filters
+from dau_convnet_tpu.ops.gaussian import blur_kernel_size
+from dau_convnet_tpu.utils import snap_kernel_tier, tier_for_params
+from dau_convnet_tpu.utils import math as dmath
+
+
+def test_kernel_tiers():
+    # reference tier rule: kernel >= 2*offset+1, tiers {9,17,33,65}
+    # (dau_conv_forward.cpp:147-164)
+    assert snap_kernel_tier(3) == 9
+    assert snap_kernel_tier(4) == 9
+    assert snap_kernel_tier(4.2) == 17
+    assert snap_kernel_tier(8) == 17
+    assert snap_kernel_tier(10) == 33
+    assert snap_kernel_tier(20) == 65
+    assert snap_kernel_tier(32) == 65
+    with pytest.raises(ValueError):
+        snap_kernel_tier(33)  # reference hard limit: 32 px
+
+
+def test_tier_for_params():
+    mu1 = np.array([1.0, -3.5])
+    mu2 = np.array([0.5, 2.0])
+    assert tier_for_params(mu1, mu2) == 9
+
+
+def test_settings_synth_kernel_size():
+    # border_bound 0.01 keeps |mu| <= k//2 - 0.01, so floor(|mu|)+1 <= k//2
+    # and the synthesized kernel equals the layer kernel size
+    assert DAUConvSettings(kernel_size=9).synth_kernel_size == 9
+    assert DAUConvSettings(kernel_size=9, static_max_offset=3.0).synth_kernel_size == 9
+    assert DAUConvSettings(kernel_size=9, static_max_offset=2.0).synth_kernel_size == 7
+    # border_bound 0 admits mu = k//2 exactly; the +1 tap spills one position
+    assert DAUConvSettings(kernel_size=9, component_border_bound=0.0).synth_kernel_size == 11
+    assert DAUConvSettings(kernel_size=17).synth_kernel_size == 17
+
+
+def test_blur_kernel_size():
+    assert blur_kernel_size(0.5) == 9   # floor at oracle size
+    assert blur_kernel_size(0.8) == 9   # 2*ceil(4)+1 = 9
+    assert blur_kernel_size(1.5) == 17  # 2*ceil(7.5)+1 = 17
+
+
+def test_gaussian_filter_properties():
+    f = gaussian_filters(jnp.float32(0.7), size=9)
+    # unit normalization: blur filter sums to 1
+    np.testing.assert_allclose(float(jnp.sum(f["w"])), 1.0, rtol=1e-6)
+    # quotient-rule-corrected derivative filters sum to ~0
+    for k in ("dmu1", "dmu2", "dsigma"):
+        assert abs(float(jnp.sum(f[k]))) < 1e-5
+    # error filter is the 180-degree rotation
+    np.testing.assert_allclose(np.asarray(f["error"]),
+                               np.asarray(f["w"])[::-1, ::-1], rtol=1e-6)
+
+
+def test_gaussian_filter_masks():
+    f1d = gaussian_filters(jnp.float32(0.5), size=9, single_dim_kernel=True)
+    w = np.asarray(f1d["w"])
+    assert np.all(w[np.arange(9) != 4, :] == 0)  # only centre row
+    fneg = gaussian_filters(jnp.float32(0.5), size=9, forbid_positive_dim1=True)
+    w = np.asarray(fneg["w"])
+    assert np.all(w[:, 5:] == 0)  # x > 0 zeroed
+
+
+def test_math_shims():
+    x = jnp.asarray([[1.0, -2.0, float("nan"), 1e-9]])
+    assert float(dmath.amax(x[:, :2])) == 2.0
+    np.testing.assert_array_equal(np.asarray(dmath.clip_nan(x))[0, 2], 0.0)
+    assert float(dmath.clip_eps(x, 1e-6)[0, 3]) == 0.0
+    assert float(dmath.clip_lower(x, 0.0)[0, 1]) == 0.0
+    assert float(dmath.clip_upper(x, 0.5)[0, 0]) == 0.5
+    padded = dmath.pad2d(jnp.ones((1, 2, 2)), 1)
+    assert padded.shape == (1, 4, 4) and float(padded[0, 0, 0]) == 0.0
+    seg = dmath.segmented_sum(jnp.arange(6.0), 3)
+    np.testing.assert_allclose(np.asarray(seg), [3.0, 12.0])
+
+
+def test_im2col_matches_direct_conv():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 5, 6)), jnp.float32)
+    filt = jnp.asarray(rng.random((2, 3, 3)), jnp.float32)
+    col = dmath.im2col(x, 3, 3, pad=1)  # (2*9, 30)
+    y = (filt.reshape(1, -1) @ col).reshape(5, 6)
+    # direct correlation
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1)))
+    ref = np.zeros((5, 6))
+    for c in range(2):
+        for i in range(3):
+            for j in range(3):
+                ref += np.asarray(filt)[c, i, j] * xp[c, i:i + 5, j:j + 6]
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5)
+
+
+def test_settings_dead_fields_accepted():
+    # merge_* are dead in the reference (merge_components commented out,
+    # base_dau_conv_layer.cu:28-30); accepted as no-ops for API parity
+    cfg = DAUConvSettings(merge_iteration_step=100, merge_threshold=0.5,
+                          mean_iteration_step=1, sigma_iteration_step=1)
+    assert cfg.merge_iteration_step == 100
