@@ -79,6 +79,7 @@ def main():
     # sigma is not trained by default in the reference, so no sigma table.
     cfg = DAUConvSettings(kernel_size=9, mu_learning_rate_factor=1.0,
                           static_max_offset=3.0, compute_sigma_grad=False,
+                          precision="highest" if args.dtype == "f32" else "default",
                           engine=args.engine)
 
     lr = jnp.asarray(1e-6, dtype)

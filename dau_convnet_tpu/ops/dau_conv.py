@@ -67,6 +67,10 @@ class DAUConvSettings:
     blur_size: int = 9                   # static blur-filter size (from sigma)
     compute_sigma_grad: bool = True
     engine: str = "xla"                  # 'xla' | 'pallas'
+    # 'highest' = true-f32 MXU passes (oracle-exact; required for the
+    # differential tests); 'default' = native bf16 MXU passes (production
+    # speed; ~1e-2 relative error on f32 inputs, exact-enough for bf16).
+    precision: str = "highest"
     # Static promise that |mu| <= static_max_offset, shrinking the synthesized
     # aggregation kernel. This is the trace-time replacement for the
     # reference's *runtime* kernel-tier dispatch (it reads amax(mu) from the
@@ -84,6 +88,8 @@ class DAUConvSettings:
             raise ValueError(f"kernel_size must be odd and >= 1, got {self.kernel_size}")
         if self.engine not in ("xla", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.precision not in ("highest", "default"):
+            raise ValueError(f"unknown precision {self.precision!r}")
 
     @property
     def max_offset(self) -> float:
@@ -92,6 +98,11 @@ class DAUConvSettings:
         if self.static_max_offset is not None:
             bound = min(bound, self.static_max_offset)
         return bound
+
+    @property
+    def lax_precision(self):
+        return (jax.lax.Precision.HIGHEST if self.precision == "highest"
+                else jax.lax.Precision.DEFAULT)
 
     @property
     def synth_kernel_size(self) -> int:
@@ -160,7 +171,8 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
         return aggregate_forward_pallas(
             x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
     return xla_engine.aggregate_forward(
-        x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
+        x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation,
+        precision=cfg.lax_precision)
 
 
 def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
@@ -169,7 +181,7 @@ def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
     if mask is not None:
         w3 = w3 * mask
     filt = _filters(cfg, _sigma_scalar(sigma))["w"]
-    x_blur = depthwise_blur(x, filt)
+    x_blur = depthwise_blur(x, filt, precision=cfg.lax_precision)
     return _aggregate(cfg, x_blur, w3, mu13, mu23)
 
 
@@ -220,7 +232,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     # ---- input gradient: the forward engine applied to the error with
     # S<->F transposed params, negated offsets, and the mirrored blur filter
     # (reference base_dau_conv_layer.cu:294-325).
-    err_blur = depthwise_blur(gy, filts["error"])
+    err_blur = depthwise_blur(gy, filts["error"], precision=cfg.lax_precision)
     dx = _aggregate(
         cfg, err_blur,
         jnp.transpose(w3m, (2, 1, 0)),
@@ -240,7 +252,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     fstack = jnp.stack([filts[k] for k in filter_names])  # (M, kb, kb)
     m = fstack.shape[0]
     n, _, h, w_sp = x.shape
-    xb = depthwise_blur(x, fstack)                 # (N, S*M, H, W)
+    xb = depthwise_blur(x, fstack, precision=cfg.lax_precision)  # (N, S*M, H, W)
     xb = xb.reshape(n, s_ch, m, h, w_sp)
     xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
 
@@ -249,10 +261,12 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         table = grad_tables_pallas(xb, gy_for_params, cfg.synth_kernel_size)
         table = table.astype(xb.dtype)
     else:
-        table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size)
+        table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size,
+                                       precision=cfg.lax_precision)
     ty, tx = xla_engine.tap_vectors(mu13, mu23, cfg.synth_kernel_size,
                                     cfg.use_interpolation)
-    grads = xla_engine.tap_gather(table, ty, tx)   # (M, S, G, F)
+    grads = xla_engine.tap_gather(table, ty, tx,
+                                  precision=cfg.lax_precision)  # (M, S, G, F)
 
     lr = jnp.asarray(cfg.mu_learning_rate_factor, grads.dtype)
     dw = grads[0]

@@ -99,26 +99,34 @@ def gaussian_filters(
     d_mu2 = y * sigma2_inv * g
     d_sigma = r2 * (sigma2_inv / sigma) * g
 
+    # Normalization + quotient-rule derivative corrections, matching the
+    # reference's three modes exactly (base_dau_conv_layer.cu:605-683):
+    #   unit:   f = g / sum(g),   correction sums = sum(dm)
+    #   square: f = g / sum(g^2), correction sums = 2 * sum(g * dm)
+    #   none:   f = g,            no correction (sums forced to 0)
     if square_unit_normalization:
-        # Reference square-norm variant (base_dau_conv_layer.cu:605-655):
-        # normalize by the sum of squares.
         z = jnp.sum(g * g)
+        s1 = 2.0 * jnp.sum(g * d_mu1) / z
+        s2 = 2.0 * jnp.sum(g * d_mu2) / z
+        ss = 2.0 * jnp.sum(g * d_sigma) / z
     elif unit_normalization:
         z = jnp.sum(g)
+        s1 = jnp.sum(d_mu1) / z
+        s2 = jnp.sum(d_mu2) / z
+        ss = jnp.sum(d_sigma) / z
     else:
         z = jnp.asarray(1.0, dtype)
+        s1 = s2 = ss = jnp.asarray(0.0, dtype)
 
-    sum_mu1 = jnp.sum(d_mu1) / z
-    sum_mu2 = jnp.sum(d_mu2) / z
-    sum_sigma = jnp.sum(d_sigma) / z
+    # tiny mu sums are zeroed (reference caffe_gpu_clip_eps(1e-10),
+    # base_dau_conv_layer.cu:663-665)
+    s1 = jnp.where(jnp.abs(s1) > 1e-10, s1, 0.0)
+    s2 = jnp.where(jnp.abs(s2) > 1e-10, s2, 0.0)
 
     g_n = g / z
-    # Quotient-rule correction of the normalized filter's derivatives
-    # (oracle dau_conv_test.py:214-216, GPU axpby path
-    # base_dau_conv_layer.cu:680-683).
-    d_mu1_n = d_mu1 / z - g_n * sum_mu1
-    d_mu2_n = d_mu2 / z - g_n * sum_mu2
-    d_sigma_n = d_sigma / z - g_n * sum_sigma
+    d_mu1_n = d_mu1 / z - g_n * s1
+    d_mu2_n = d_mu2 / z - g_n * s2
+    d_sigma_n = d_sigma / z - g_n * ss
 
     error = jnp.flip(jnp.flip(g_n, axis=0), axis=1)
 

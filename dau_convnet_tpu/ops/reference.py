@@ -61,14 +61,20 @@ def make_filters(
     d_mu2 = y / sigma ** 2 * g
     d_sigma = r2 / sigma ** 3 * g
 
+    # three normalization modes, matching the reference GPU precompute
+    # (base_dau_conv_layer.cu:605-683): unit (f = g/sum g), square
+    # (f = g/sum g^2, corrections 2*sum(g*dm)), none (no correction)
     if square_unit_normalization:
         z = np.sum(g ** 2)
+        s1 = 2.0 * np.sum(g * d_mu1) / z
+        s2 = 2.0 * np.sum(g * d_mu2) / z
+        ss = 2.0 * np.sum(g * d_sigma) / z
     elif unit_normalization:
         z = np.sum(g)
+        s1, s2, ss = np.sum(d_mu1) / z, np.sum(d_mu2) / z, np.sum(d_sigma) / z
     else:
         z = 1.0
-
-    s1, s2, ss = np.sum(d_mu1) / z, np.sum(d_mu2) / z, np.sum(d_sigma) / z
+        s1 = s2 = ss = 0.0
     g_n = g / z
     d_mu1 = d_mu1 / z - g_n * s1
     d_mu2 = d_mu2 / z - g_n * s2
@@ -196,12 +202,15 @@ def offset_and_dot(x, error, mu1, mu2, num_dau_units_ignore=0,
 def forward(x, w, mu1, mu2, sigma, num_dau_units_ignore=0,
             do_error_backprop=False, single_dim_kernel=False,
             aggr_forbid_positive=False, use_interpolation=True,
-            blur_size=9):
+            blur_size=9, unit_normalization=True,
+            square_unit_normalization=False):
     """Oracle forward pass: blur then offset-and-sum."""
     sigma_val = float(np.reshape(np.asarray(sigma), (-1,))[0])
     filt, _, _, _, err_filt = make_filters(
         sigma_val, size=blur_size, single_dim_kernel=single_dim_kernel,
-        forbid_positive_dim1=aggr_forbid_positive)
+        forbid_positive_dim1=aggr_forbid_positive,
+        unit_normalization=unit_normalization,
+        square_unit_normalization=square_unit_normalization)
     f = err_filt if do_error_backprop else filt
     x_blur = _correlate2d_zero(np.asarray(x, dtype=np.float64), f)
     return offset_and_sum(x_blur, np.asarray(w, np.float64),
@@ -213,7 +222,8 @@ def forward(x, w, mu1, mu2, sigma, num_dau_units_ignore=0,
 def backward(x, error, w, mu1, mu2, sigma, num_dau_units_ignore=0,
              unit_testing=False, single_dim_kernel=False,
              aggr_forbid_positive=False, use_interpolation=True,
-             blur_size=9):
+             blur_size=9, unit_normalization=True,
+             square_unit_normalization=False):
     """Oracle backward: (input_grad, w_grad, mu1_grad, mu2_grad, sigma_grad).
 
     Input grad rotates the units (swap S<->F, negate mu) and uses the
@@ -234,13 +244,17 @@ def backward(x, error, w, mu1, mu2, sigma, num_dau_units_ignore=0,
         [sigma_val], do_error_backprop=True,
         single_dim_kernel=single_dim_kernel,
         aggr_forbid_positive=aggr_forbid_positive,
-        use_interpolation=use_interpolation, blur_size=blur_size)
+        use_interpolation=use_interpolation, blur_size=blur_size,
+        unit_normalization=unit_normalization,
+        square_unit_normalization=square_unit_normalization)
 
     # the w-gradient filter is the normalized blur filter itself
     # (reference oracle: deriv_w = filter / sum, dau_conv_test.py:201,212)
     d_w, d_mu1, d_mu2, d_sigma, _ = make_filters(
         sigma_val, size=blur_size, single_dim_kernel=single_dim_kernel,
-        forbid_positive_dim1=aggr_forbid_positive)
+        forbid_positive_dim1=aggr_forbid_positive,
+        unit_normalization=unit_normalization,
+        square_unit_normalization=square_unit_normalization)
 
     grads = []
     for filt in (d_w, d_mu1, d_mu2, d_sigma):

@@ -100,3 +100,41 @@ def test_no_interpolation():
 def test_kernel_tier_65():
     run_case(N=1, W=70, H=34, S=2, F=2, units=(2, 1), max_kernel_size=65,
              max_offset_init=20, seed=6)
+
+
+@pytest.mark.parametrize("norm", ["square", "none"])
+def test_normalization_variants(norm):
+    """square_unit_normalization and no-normalization modes vs the oracle
+    (reference base_dau_conv_layer.cu:605-683 normalization variants)."""
+    rng = np.random.default_rng(7)
+    from helpers import random_case as _rc
+    x, w, mu1, mu2, sigma, err = _rc(rng, N=1, W=10, H=8, S=3, F=4,
+                                     units=(2, 1), max_kernel_size=9,
+                                     max_offset_init=3)
+    square = norm == "square"
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True,
+                          unit_normalization=False,
+                          square_unit_normalization=square)
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, grads = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+
+    from dau_convnet_tpu.ops import reference as oracle
+    gt_fwd = oracle.forward(x, w, mu1, mu2, [float(sigma)],
+                            unit_normalization=not square and norm != "none",
+                            square_unit_normalization=square)
+    gt_bwd = oracle.backward(x, err, w, mu1, mu2, [float(sigma)],
+                             unit_testing=True,
+                             unit_normalization=not square and norm != "none",
+                             square_unit_normalization=square)
+    assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
+    assert_matrix(np.asarray(grads[0]), gt_bwd[0], "bwd_error")
+    assert_matrix(np.asarray(grads[1]), gt_bwd[1], "bwd_w_grad")
+    assert_matrix(np.asarray(grads[2]), gt_bwd[2], "bwd_mu1_grad")
+    assert_matrix(np.asarray(grads[3]), gt_bwd[3], "bwd_mu2_grad")
+    assert_matrix(np.asarray(grads[4]), gt_bwd[4], "bwd_sigma_grad")
