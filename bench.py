@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--HW", type=int, default=16)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--engine", default="xla", choices=["xla", "pallas", "pallas_fused"])
     args = ap.parse_args()
 
     from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op

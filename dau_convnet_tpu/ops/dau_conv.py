@@ -66,7 +66,7 @@ class DAUConvSettings:
     unit_testing: bool = False           # ignore_edge_gradients GPU-compat shim
     blur_size: int = 9                   # static blur-filter size (from sigma)
     compute_sigma_grad: bool = True
-    engine: str = "xla"                  # 'xla' | 'pallas'
+    engine: str = "xla"                  # 'xla' | 'pallas' | 'pallas_fused'
     # 'highest' = true-f32 MXU passes (oracle-exact; required for the
     # differential tests); 'default' = native bf16 MXU passes (production
     # speed; ~1e-2 relative error on f32 inputs, exact-enough for bf16).
@@ -86,7 +86,7 @@ class DAUConvSettings:
     def __post_init__(self):
         if self.kernel_size % 2 != 1 or self.kernel_size < 1:
             raise ValueError(f"kernel_size must be odd and >= 1, got {self.kernel_size}")
-        if self.engine not in ("xla", "pallas"):
+        if self.engine not in ("xla", "pallas", "pallas_fused"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
@@ -166,7 +166,7 @@ def _filters(cfg: DAUConvSettings, sigma_value):
 
 
 def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
-    if cfg.engine == "pallas":
+    if cfg.engine in ("pallas", "pallas_fused"):
         from ..kernels.forward import aggregate_forward_pallas
         return aggregate_forward_pallas(
             x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
@@ -175,14 +175,26 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
         precision=cfg.lax_precision)
 
 
+def _blur_and_aggregate(cfg: DAUConvSettings, x, filt, w, mu1, mu2):
+    """Blur + offset-and-sum, the engine-dispatched forward chain. The
+    'pallas_fused' engine computes the blur inside the aggregation kernel
+    (the intermediate never touches HBM)."""
+    if cfg.engine == "pallas_fused":
+        from ..kernels.forward import dau_forward_fused_pallas
+        return dau_forward_fused_pallas(
+            x, w, mu1, mu2, filt, cfg.synth_kernel_size,
+            cfg.use_interpolation)
+    x_blur = depthwise_blur(x, filt, precision=cfg.lax_precision)
+    return _aggregate(cfg, x_blur, w, mu1, mu2)
+
+
 def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
     w3, mu13, mu23, _ = _squeeze_params(w, mu1, mu2)
     mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
     if mask is not None:
         w3 = w3 * mask
     filt = _filters(cfg, _sigma_scalar(sigma))["w"]
-    x_blur = depthwise_blur(x, filt, precision=cfg.lax_precision)
-    return _aggregate(cfg, x_blur, w3, mu13, mu23)
+    return _blur_and_aggregate(cfg, x, filt, w3, mu13, mu23)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -232,9 +244,8 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     # ---- input gradient: the forward engine applied to the error with
     # S<->F transposed params, negated offsets, and the mirrored blur filter
     # (reference base_dau_conv_layer.cu:294-325).
-    err_blur = depthwise_blur(gy, filts["error"], precision=cfg.lax_precision)
-    dx = _aggregate(
-        cfg, err_blur,
+    dx = _blur_and_aggregate(
+        cfg, gy, filts["error"],
         jnp.transpose(w3m, (2, 1, 0)),
         -jnp.transpose(mu13, (2, 1, 0)),
         -jnp.transpose(mu23, (2, 1, 0)),
@@ -256,7 +267,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     xb = xb.reshape(n, s_ch, m, h, w_sp)
     xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
 
-    if cfg.engine == "pallas":
+    if cfg.engine in ("pallas", "pallas_fused"):
         from ..kernels.backward import grad_tables_pallas
         table = grad_tables_pallas(xb, gy_for_params, cfg.synth_kernel_size)
         table = table.astype(xb.dtype)

@@ -82,3 +82,28 @@ def test_pallas_engine_end_to_end_vs_oracle():
     assert_matrix(np.asarray(dmu1), gt_bwd[2], "bwd_mu1_grad")
     assert_matrix(np.asarray(dmu2), gt_bwd[3], "bwd_mu2_grad")
     assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
+
+
+def test_pallas_fused_engine_end_to_end_vs_oracle():
+    rng = np.random.default_rng(5)
+    x, w, mu1, mu2, sigma, err = random_case(
+        rng, N=2, W=9, H=8, S=3, F=4, units=(1, 2), max_kernel_size=9,
+        max_offset_init=3)
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True,
+                          engine="pallas_fused")
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, (dx, dw, dmu1, dmu2, dsig) = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    gt_fwd, gt_bwd = oracle_fwd_bwd(x, w, mu1, mu2, sigma, err, unit_testing=True)
+
+    assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
+    assert_matrix(np.asarray(dx), gt_bwd[0], "bwd_error")
+    assert_matrix(np.asarray(dw), gt_bwd[1], "bwd_w_grad")
+    assert_matrix(np.asarray(dmu1), gt_bwd[2], "bwd_mu1_grad")
+    assert_matrix(np.asarray(dmu2), gt_bwd[3], "bwd_mu2_grad")
+    assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
