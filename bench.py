@@ -33,9 +33,8 @@ def time_chained(make_step, carry, iters=100):
     def body(c, _):
         return make_step(c), None
 
-    runs = {}
-    for n in (iters // 5, iters):
-        fn = jax.jit(lambda c, n=n: jax.lax.scan(body, c, None, length=n)[0])
+    def measure(n):
+        fn = jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[0])
         out = fn(carry)
         jax.block_until_ready(out)  # compile + warm
         best = float("inf")
@@ -44,9 +43,91 @@ def time_chained(make_step, carry, iters=100):
             out = fn(carry)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
-        runs[n] = best
-    n1, n2 = sorted(runs)
-    return (runs[n2] - runs[n1]) / (n2 - n1)
+        return best
+
+    n1 = iters // 5
+    t1 = measure(n1)
+    # scale the long run so the differenced signal dominates dispatch noise
+    n2 = max(iters, int(n1 * max(2.0, 0.02 / max(t1, 1e-5))))
+    t2 = measure(n2)
+    dt = (t2 - t1) / (n2 - n1)
+    if dt <= 0:  # fast steps: fall back to the amortized long run
+        dt = t2 / n2
+    return dt
+
+
+def bench_alexnet(args):
+    """Full AlexNet-DAU training step (fwd+bwd+SGD), images/sec/chip -
+    the BASELINE.md north-star metric. vs_baseline compares against the
+    same AlexNet with plain 3x3 convs in place of the DAU layers."""
+    import optax
+    from flax import linen as nn
+
+    from dau_convnet_tpu.models import AlexNetDAU
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    N = args.N
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((N, 3, 227, 227)), dtype)
+    labels = jnp.asarray(rng.integers(0, 1000, (N,)))
+    tx = optax.sgd(1e-4)
+
+    class AlexNetConv(nn.Module):
+        """conv3x3 stand-in baseline with identical channel widths."""
+        @nn.compact
+        def __call__(self, z):
+            y = jnp.transpose(z, (0, 2, 3, 1))
+            y = nn.relu(nn.Conv(96, (11, 11), strides=(4, 4), padding="VALID",
+                                dtype=dtype)(y))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for f, pool in ((256, True), (384, False), (384, False), (256, True)):
+                y = nn.relu(nn.Conv(f, (3, 3), padding="SAME", dtype=dtype)(y))
+                if pool:
+                    y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            y = y.reshape(y.shape[0], -1)
+            y = nn.relu(nn.Dense(4096, dtype=dtype)(y))
+            y = nn.relu(nn.Dense(4096, dtype=dtype)(y))
+            return nn.Dense(1000, dtype=dtype)(y)
+
+    def make_step(model, params):
+        opt_state = tx.init(params)
+
+        def step(carry):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                logits = model.apply(p, x)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+
+            _, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state2)
+
+        return step, (params, opt_state)
+
+    dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype)
+    dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
+    step, carry = make_step(dau, dau_params)
+    t_dau = time_chained(step, carry, args.iters)
+
+    conv = AlexNetConv()
+    conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
+    cstep, ccarry = make_step(conv, conv_params)
+    t_conv = time_chained(cstep, ccarry, args.iters)
+
+    print(json.dumps({
+        "metric": f"alexnet_dau_{args.variant}_trainstep_images_per_sec(N{N},227x227,{args.dtype})",
+        "value": round(N / t_dau, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(t_conv / t_dau, 4),
+        "detail": {
+            "dau_step_ms": round(t_dau * 1e3, 3),
+            "conv3x3_step_ms": round(t_conv * 1e3, 3),
+            "dau_units": AlexNetDAU(variant=args.variant).num_dau_units(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
 
 
 def main():
@@ -58,7 +139,14 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--engine", default="xla", choices=["xla", "pallas", "pallas_fused"])
+    ap.add_argument("--model", default="layer", choices=["layer", "alexnet"])
+    ap.add_argument("--variant", default="default",
+                    choices=["small", "default", "large"])
     args = ap.parse_args()
+
+    if args.model == "alexnet":
+        bench_alexnet(args)
+        return
 
     from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
 

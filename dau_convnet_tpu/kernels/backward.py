@@ -53,20 +53,20 @@ def _table_kernel(xb_ref, err_ref, out_ref, *, ks: int, wp: int,
 
     lt = xb_ref.shape[2]
 
-    def body(p, _):
-        ky, kx = p // ks, p % ks
-        rolled = pltpu.roll(xb_ref[0, :, :], lt - (ky * wp + kx), axis=1)
-        window = rolled[:, :lv]
-        contrib = jax.lax.dot_general(
-            err, window,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (F, M*S)
-        out_ref[pl.ds(p, 1), :, :] += contrib.astype(out_ref.dtype)[None]
+    def body(ky, _):
+        row = pltpu.roll(xb_ref[0, :, :], lt - ky * wp, axis=1)
+        for kx in range(ks):
+            contrib = jax.lax.dot_general(
+                err, row[:, kx:kx + lv],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (F, M*S)
+            out_ref[pl.ds(ky * ks + kx, 1), :, :] += (
+                contrib.astype(out_ref.dtype)[None])
         return 0
 
-    jax.lax.fori_loop(0, ks * ks, body, 0)
+    jax.lax.fori_loop(0, ks, body, 0)
 
 
 def grad_tables_pallas(x_blur_k, err, ks: int, interpret: bool | None = None):
@@ -93,6 +93,11 @@ def grad_tables_pallas(x_blur_k, err, ks: int, interpret: bool | None = None):
     lt = round128(l_full + (ks - 1) * (wp + 1) + 128)
 
     # (M, N, S, H, W) -> (N, M*S, Hp, Wp) -> flat, lane-aligned + tail
+    # (upcast below 32 bits: Mosaic dynamic rotate is 32-bit only)
+    if x_blur_k.dtype.itemsize < 4:
+        x_blur_k = x_blur_k.astype(jnp.float32)
+    if err.dtype.itemsize < 4:
+        err = err.astype(jnp.float32)
     xb = jnp.transpose(x_blur_k, (1, 0, 2, 3, 4)).reshape(n, m * s, h, w_sp)
     xb = jnp.pad(xb, ((0, 0), (0, 0), (ca, ca), (ca, ca)))
     xb = jnp.pad(xb.reshape(n, m * s, l_full), ((0, 0), (0, 0), (0, lt - l_full)))
@@ -100,7 +105,7 @@ def grad_tables_pallas(x_blur_k, err, ks: int, interpret: bool | None = None):
     # error embedded in the padded grid (zeros in the halo, row padding, and
     # the lane-padding tail - so the widened lv contraction stays exact)
     le = round128(l_full + lv - (l_full - d_off) + 128) if d_off + lv > l_full else round128(l_full)
-    ep = jnp.pad(err, ((0, 0), (0, 0), (ca, ca), (ca, ca)))
+    ep = jnp.pad(err.astype(xb.dtype), ((0, 0), (0, 0), (ca, ca), (ca, ca)))
     ep = jnp.pad(ep.reshape(n, f, l_full), ((0, 0), (0, 0), (0, le - l_full)))
 
     if interpret is None:

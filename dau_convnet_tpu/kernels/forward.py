@@ -49,8 +49,11 @@ def _round128(x: int) -> int:
 def _flatten_padded(x4d, pad, tail):
     """(N, C, H, W) -> zero-padded (N, C, L) flat planes; L covers the padded
     grid + `tail` and is rounded to a lane multiple (Mosaic dynamic rolls
-    require 128-aligned lane lengths)."""
+    require 128-aligned lane lengths). Sub-32-bit dtypes are upcast to f32:
+    Mosaic's dynamic lane rotate only supports 32-bit data."""
     n, c, h, w = x4d.shape
+    if x4d.dtype.itemsize < 4:
+        x4d = x4d.astype(jnp.float32)
     xp = jnp.pad(x4d, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
     l_full = (h + 2 * pad) * (w + 2 * pad)
     flat = xp.reshape(n, c, l_full)
@@ -67,20 +70,23 @@ def _agg_kernel(xb_ref, kern_ref, out_ref, *, ks: int, wp: int, l_out: int):
     """
     lt = xb_ref.shape[2]
 
-    def body(p, acc):
-        ky, kx = p // ks, p % ks
-        rolled = pltpu.roll(xb_ref[0, :, :], lt - (ky * wp + kx), axis=1)
-        window = rolled[:, :l_out]
-        k_p = kern_ref[pl.ds(p, 1), :, :][0]
-        return acc + jax.lax.dot_general(
-            k_p, window,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    def ky_body(ky, acc):
+        # one dynamic roll per kernel row; the kx offsets inside the row are
+        # static prefix slices of it (ks dynamic rolls total instead of ks^2)
+        row = pltpu.roll(xb_ref[0, :, :], lt - ky * wp, axis=1)
+        for kx in range(ks):
+            window = row[:, kx:kx + l_out]
+            k_p = kern_ref[pl.ds(ky * ks + kx, 1), :, :][0]
+            acc = acc + jax.lax.dot_general(
+                k_p, window,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, ks * ks, body, jnp.zeros((out_ref.shape[1], l_out), jnp.float32))
+        0, ks, ky_body, jnp.zeros((out_ref.shape[1], l_out), jnp.float32))
     out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
@@ -134,6 +140,7 @@ def aggregate_forward_pallas(x_blur, w, mu1, mu2, ks: int,
     kern = jnp.transpose(kern.reshape(*kern.shape[:2], ks * ks), (2, 0, 1))
 
     xb_flat = _flatten_padded(x_blur, ca, tail)
+    kern = kern.astype(xb_flat.dtype)  # dot operands must match (bf16 upcast)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _run_aggregate(xb_flat, kern, ks, wp, l_out, h, w_sp,
@@ -159,13 +166,14 @@ def _fused_kernel(x_ref, filt_ref, kern_ref, mask_ref, out_ref, xb_ref, *,
     # [ca, ca+H) x [ca, ca+W) - exactly the halo the aggregation needs.
     ltx = x_ref.shape[2]
 
-    def blur_body(p, acc):
-        dy, dx = p // kb, p % kb
-        rolled = pltpu.roll(x_ref[0, :, :], ltx - (dy * wx + dx), axis=1)
-        return acc + filt_ref[dy, dx] * rolled[:, :l_blur].astype(jnp.float32)
+    def blur_body(dy, acc):
+        row = pltpu.roll(x_ref[0, :, :], ltx - dy * wx, axis=1)
+        for dx in range(kb):
+            acc = acc + filt_ref[dy, dx] * row[:, dx:dx + l_blur].astype(jnp.float32)
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, kb * kb, blur_body, jnp.zeros((s, l_blur), jnp.float32))
+        0, kb, blur_body, jnp.zeros((s, l_blur), jnp.float32))
     # blur(x) is only valid (== reference's cropped intermediate) inside the
     # image; zero the halo so aggregation reads zeros outside. The mask also
     # zeroes the lane-padding region beyond the padded grid.
@@ -175,20 +183,20 @@ def _fused_kernel(x_ref, filt_ref, kern_ref, mask_ref, out_ref, xb_ref, *,
 
     lxb = xb_ref.shape[1]
 
-    def agg_body(p, out):
-        ky, kx = p // ks, p % ks
-        rolled = pltpu.roll(xb_ref[:, :], lxb - (ky * wx + kx), axis=1)
-        window = rolled[:, :l_out]
-        k_p = kern_ref[pl.ds(p, 1), :, :][0]
-        return out + jax.lax.dot_general(
-            k_p, window,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+    def agg_body(ky, out):
+        row = pltpu.roll(xb_ref[:, :], lxb - ky * wx, axis=1)
+        for kx in range(ks):
+            k_p = kern_ref[pl.ds(ky * ks + kx, 1), :, :][0]
+            out = out + jax.lax.dot_general(
+                k_p, row[:, kx:kx + l_out],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        return out
 
     out = jax.lax.fori_loop(
-        0, ks * ks, agg_body, jnp.zeros((out_ref.shape[1], l_out), jnp.float32))
+        0, ks, agg_body, jnp.zeros((out_ref.shape[1], l_out), jnp.float32))
     out_ref[0, :, :] = out.astype(out_ref.dtype)
 
 
@@ -219,6 +227,7 @@ def dau_forward_fused_pallas(x, w, mu1, mu2, blur_filter, ks: int,
     kern = jnp.transpose(kern, (2, 0, 1))  # (ks*ks, S, F)
 
     x_flat = _flatten_padded(x, pad, tail)
+    kern = kern.astype(x_flat.dtype)  # dot operands must match (bf16 upcast)
 
     # valid-blur mask on the shifted acc grid (see _fused_kernel): the image
     # occupies rows/cols [ca, ca + H/W); lane padding beyond the grid is 0

@@ -160,6 +160,9 @@ class DAUConv2d(nn.Module):
     dau_sigma_init: float = 0.5
     unit_testing: bool = False
     engine: str = "xla"
+    # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
+    # (native bf16 MXU) otherwise
+    precision: tp.Optional[str] = None
     dtype: tp.Any = jnp.float32
 
     @property
@@ -241,6 +244,9 @@ class DAUConv2d(nn.Module):
         mu1 = jnp.clip(mu1, -bound, bound)
         mu2 = jnp.clip(mu2, -bound, bound)
 
+        precision = self.precision
+        if precision is None:
+            precision = "highest" if jnp.dtype(self.dtype) == jnp.float32 else "default"
         cfg = DAUConvSettings(
             kernel_size=self.max_kernel_size,
             use_interpolation=self.dau_mu_interpolation,
@@ -253,6 +259,7 @@ class DAUConv2d(nn.Module):
             blur_size=blur_kernel_size(self.dau_sigma_init),
             compute_sigma_grad=self.dau_sigma_trainable,
             engine=self.engine,
+            precision=precision,
         )
 
         sigma_tiled = jnp.broadcast_to(sigma.reshape(1, 1, 1, 1), pshape)
