@@ -134,8 +134,7 @@ def aggregate_forward_pallas(x_blur, w, mu1, mu2, ks: int,
     # tail: max window offset + lane-padding of the output length
     tail = (ks - 1) * (wp + 1) + (_round128(l_out) - l_out) + 128
 
-    ty, tx = xla_engine.tap_vectors(mu1, mu2, ks, use_interpolation)
-    kern = xla_engine.synthesize_kernel(w, ty, tx)  # (S, F, ks, ks)
+    kern = xla_engine.synthesize_kernel(w, mu1, mu2, ks, use_interpolation)
     # (S, F, ks, ks) -> (ks*ks, S, F): position-major for lane-safe indexing
     kern = jnp.transpose(kern.reshape(*kern.shape[:2], ks * ks), (2, 0, 1))
 
@@ -222,9 +221,8 @@ def dau_forward_fused_pallas(x, w, mu1, mu2, blur_filter, ks: int,
     l_out = _round128(h * wx)
     tail = (kb - 1) * (wx + 1) + 128
 
-    ty, tx = xla_engine.tap_vectors(mu1, mu2, ks, use_interpolation)
-    kern = xla_engine.synthesize_kernel(w, ty, tx).reshape(s, f, ks * ks)
-    kern = jnp.transpose(kern, (2, 0, 1))  # (ks*ks, S, F)
+    kern = xla_engine.synthesize_kernel(w, mu1, mu2, ks, use_interpolation)
+    kern = jnp.transpose(kern.reshape(s, f, ks * ks), (2, 0, 1))  # (ks*ks,S,F)
 
     x_flat = _flatten_padded(x, pad, tail)
     kern = kern.astype(x_flat.dtype)  # dot operands must match (bf16 upcast)

@@ -274,10 +274,8 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     else:
         table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size,
                                        precision=cfg.lax_precision)
-    ty, tx = xla_engine.tap_vectors(mu13, mu23, cfg.synth_kernel_size,
-                                    cfg.use_interpolation)
-    grads = xla_engine.tap_gather(table, ty, tx,
-                                  precision=cfg.lax_precision)  # (M, S, G, F)
+    grads = xla_engine.tap_gather(table, mu13, mu23, cfg.synth_kernel_size,
+                                  cfg.use_interpolation)  # (M, S, G, F)
 
     lr = jnp.asarray(cfg.mu_learning_rate_factor, grads.dtype)
     dw = grads[0]

@@ -90,10 +90,48 @@ def tap_vectors(mu1, mu2, ks: int, use_interpolation: bool):
     return ty.astype(dtype), tx.astype(dtype)
 
 
-def synthesize_kernel(w, ty, tx, precision=jax.lax.Precision.HIGHEST):
-    """K[s,f,ky,kx] = sum_g w[s,g,f] * ty[s,g,f,ky] * tx[s,g,f,kx]."""
-    return jnp.einsum("sgf,sgfy,sgfx->sfyx", w, ty, tx,
-                      precision=precision, preferred_element_type=w.dtype)
+def _flat_taps(mu1, mu2, ks: int, use_interpolation: bool):
+    """The (weight, flat-target-position) pairs of each unit's taps.
+
+    Yields up to 4 (iw, tgt) with iw, tgt shaped like mu1; tgt indexes the
+    flattened ks*ks kernel grid. Positions are exact small integers in the
+    mu dtype.
+    """
+    c = ks // 2
+    f1 = jnp.floor(mu1)
+    f2 = jnp.floor(mu2)
+    if use_interpolation:
+        a1 = mu1 - f1
+        a2 = mu2 - f2
+        deltas = ((0, 0), (0, 1), (1, 0), (1, 1))
+    else:
+        a1 = jnp.zeros_like(mu1)
+        a2 = jnp.zeros_like(mu2)
+        deltas = ((0, 0),)
+    base = (c + f2) * ks + (c + f1)
+    out = []
+    for dy, dx in deltas:
+        wx = a1 if dx else 1.0 - a1
+        wy = a2 if dy else 1.0 - a2
+        out.append((wx * wy, base + (dy * ks + dx)))
+    return out
+
+
+def synthesize_kernel(w, mu1, mu2, ks: int, use_interpolation: bool = True):
+    """K[s,f,ky,kx] = sum_g w[s,g,f] * bilinear-tap one-hot at (mu2, mu1).
+
+    Built as fused elementwise compare-FMA passes over the (S, F, ks^2)
+    output - NOT an einsum over one-hot vectors: that contraction lowers to
+    ~S*F tiny [ks,G]x[G,ks] batched matmuls, which measured ~20x slower than
+    this form on TPU at AlexNet shapes.
+    """
+    s, g, f = w.shape
+    p = jnp.arange(ks * ks, dtype=mu1.dtype)
+    kern = jnp.zeros((s, f, ks * ks), w.dtype)
+    for iw, tgt in _flat_taps(mu1, mu2, ks, use_interpolation):
+        contrib = (w * iw)[..., None] * (p == tgt[..., None])
+        kern = kern + jnp.sum(contrib.astype(w.dtype), axis=1)
+    return kern.reshape(s, f, ks, ks)
 
 
 def aggregate_forward(x_blur, w, mu1, mu2, ks: int,
@@ -108,8 +146,7 @@ def aggregate_forward(x_blur, w, mu1, mu2, ks: int,
 
     Returns: (N, F, H, W).
     """
-    ty, tx = tap_vectors(mu1, mu2, ks, use_interpolation)
-    kern = synthesize_kernel(w, ty, tx)  # (S, F, ks, ks)
+    kern = synthesize_kernel(w, mu1, mu2, ks, use_interpolation)  # (S,F,ks,ks)
     c = ks // 2
     rhs = jnp.transpose(kern, (1, 0, 2, 3))  # OIHW = (F, S, ks, ks)
     return jax.lax.conv_general_dilated(
@@ -154,10 +191,19 @@ def grad_tables(x_blur_k, err, ks: int,
     return table.reshape(m, s, f, ks, ks)
 
 
-def tap_gather(table, ty, tx, precision=jax.lax.Precision.HIGHEST):
-    """Per-unit gradients from a position table: the tap-gather einsum.
+def tap_gather(table, mu1, mu2, ks: int, use_interpolation: bool = True):
+    """Per-unit gradients from a position table: the tap-gather.
 
-    grad[m,s,g,f] = sum_{ky,kx} table[m,s,f,ky,kx] * ty[s,g,f,ky] * tx[s,g,f,kx]
+    grad[m,s,g,f] = sum_taps iw * table[m,s,f, tap_position]
+
+    Implemented as a fused one-hot multiply-reduce over the flat position
+    axis (see synthesize_kernel for why not an einsum).
     """
-    return jnp.einsum("msfyx,sgfy,sgfx->msgf", table, ty, tx,
-                      precision=precision, preferred_element_type=table.dtype)
+    m, s, f = table.shape[:3]
+    g = mu1.shape[1]
+    tf = table.reshape(m, s, 1, f, ks * ks)
+    p = jnp.arange(ks * ks, dtype=mu1.dtype)
+    mask = jnp.zeros((s, g, f, ks * ks), table.dtype)
+    for iw, tgt in _flat_taps(mu1, mu2, ks, use_interpolation):
+        mask = mask + (iw[..., None] * (p == tgt[..., None])).astype(table.dtype)
+    return jnp.sum(tf * mask[None], axis=-1)
