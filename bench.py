@@ -8,7 +8,11 @@ DAU throughput / conv throughput (>= 1.0 meets the north star
 "DAU fwd+bwd >= conv-equivalent images/sec", BASELINE.md).
 
 Run on the real TPU chip: `python bench.py`.
-Options: --dtype bf16|f32 (default f32), --precision default|highest.
+
+Default mode (`--model alexnet`): the BASELINE.md north-star metric - the
+full AlexNet-DAU (0.7M units) training step in images/sec/chip, vs the same
+net with 3x3 convs. `--model layer` gives the reference speedtest
+single-layer microbench.
 """
 
 import argparse
@@ -136,13 +140,20 @@ def main():
     ap.add_argument("--S", type=int, default=128)
     ap.add_argument("--F", type=int, default=32)
     ap.add_argument("--HW", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--dtype", default=None, choices=["f32", "bf16"])
     ap.add_argument("--engine", default="xla", choices=["xla", "pallas", "pallas_fused"])
-    ap.add_argument("--model", default="layer", choices=["layer", "alexnet"])
+    ap.add_argument("--model", default="alexnet", choices=["layer", "alexnet"])
     ap.add_argument("--variant", default="default",
                     choices=["small", "default", "large"])
     args = ap.parse_args()
+
+    if args.dtype is None:
+        # production dtype for the model benchmark; oracle-exact f32 for the
+        # layer microbench (comparable to the reference's fp32 CUDA numbers)
+        args.dtype = "bf16" if args.model == "alexnet" else "f32"
+    if args.iters is None:
+        args.iters = 20 if args.model == "alexnet" else 100
 
     if args.model == "alexnet":
         bench_alexnet(args)
