@@ -84,3 +84,32 @@ def im2col(x, kh: int, kw: int, pad: int = 0, stride: int = 1):
             cols.append(patch.reshape(c, out_h * out_w))
     col = jnp.stack(cols, axis=1)  # (C, kh*kw, L)
     return col.reshape(c * kh * kw, out_h * out_w)
+
+
+def validate_dau_params(w, mu1, mu2, sigma, *, kernel_size: int,
+                        component_border_bound: float = 0.01,
+                        sigma_lower_bound: float = 0.3):
+    """Host-side parameter sanity check (concrete arrays, between jit steps).
+
+    Trace-time shapes are validated by the op itself; this covers the
+    reference's *runtime* data guards, which cannot live under jit:
+    the NaN check on mu (reference dau_conv_op.cpp:258-262), the offset
+    bound vs the supported tier (dau_conv_forward.cpp:156-158), and the
+    sigma lower bound (DAUConvSettings.sigma_lower_bound). Raises ValueError.
+    """
+    import numpy as np
+
+    mu1 = np.asarray(mu1)
+    mu2 = np.asarray(mu2)
+    if np.isnan(mu1).any() or np.isnan(mu2).any():
+        raise ValueError("NaN in mu1/mu2 - diverged training? (reference "
+                         "guard dau_conv_op.cpp:258-262)")
+    bound = kernel_size // 2 - component_border_bound
+    worst = max(np.abs(mu1).max(), np.abs(mu2).max())
+    if worst > bound + 1e-6:
+        raise ValueError(
+            f"max |mu| = {worst:.3f} exceeds the kernel bound {bound:.3f}; "
+            "clip offsets (the DAUConv2d layer does this automatically)")
+    sig = float(np.reshape(np.asarray(sigma), (-1,))[0])
+    if not np.isfinite(sig) or sig < sigma_lower_bound:
+        raise ValueError(f"sigma {sig} below lower bound {sigma_lower_bound}")

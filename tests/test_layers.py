@@ -204,3 +204,40 @@ def test_constraints_and_regularizers():
     expected = (0.5 * np.sum(np.asarray(params["params"]["weights"]) ** 2)
                 + np.sum(np.abs(np.asarray(params["params"]["mu1"]))))
     np.testing.assert_allclose(float(reg), expected, rtol=1e-6)
+
+
+def test_dau_conv1d_functional_wrapper():
+    from dau_convnet_tpu.nn import dau_conv1d
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return dau_conv1d(x, 4, dau_units=(2, 1), max_kernel_size=9,
+                              dau_aggregation_forbid_positive_dim1=True)
+
+    net = Net()
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 4, 16)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 4, 4, 16)
+    # mu2 exists but is pinned to zero by the 1D layer
+    assert "mu2" in params["params"]["DAUConv1d_0"]
+
+
+def test_validate_dau_params():
+    import pytest
+    from dau_convnet_tpu.utils.math import validate_dau_params
+
+    good = dict(w=np.ones((1, 2, 2, 3)), mu1=np.ones((1, 2, 2, 3)),
+                mu2=-np.ones((1, 2, 2, 3)), sigma=np.array([0.5]))
+    validate_dau_params(**good, kernel_size=9)
+
+    bad = dict(good, mu1=np.full((1, 2, 2, 3), np.nan))
+    with pytest.raises(ValueError, match="NaN"):
+        validate_dau_params(**bad, kernel_size=9)
+    bad = dict(good, mu2=np.full((1, 2, 2, 3), 7.0))
+    with pytest.raises(ValueError, match="exceeds"):
+        validate_dau_params(**bad, kernel_size=9)
+    bad = dict(good, sigma=np.array([0.05]))
+    with pytest.raises(ValueError, match="sigma"):
+        validate_dau_params(**bad, kernel_size=9)
