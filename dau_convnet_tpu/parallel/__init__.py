@@ -1,4 +1,5 @@
-from .mesh import P, batch_sharding, dau_param_spec, make_mesh, param_shardings
+from .mesh import (P, batch_sharding, dau_param_spec, make_mesh,
+                   param_shardings, spatial_sharding)
 from .train import TrainState, init_sharded, make_train_step
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "dau_param_spec",
     "make_mesh",
     "param_shardings",
+    "spatial_sharding",
     "TrainState",
     "init_sharded",
     "make_train_step",

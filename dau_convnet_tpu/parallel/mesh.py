@@ -85,3 +85,16 @@ def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
 def batch_sharding(mesh: Mesh, data_axis: str = "data"):
     """Sharding for NCHW (or any batch-major) arrays: batch over data axis."""
     return NamedSharding(mesh, P(data_axis))
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "data"):
+    """Shard the H dimension of NCHW inputs across devices.
+
+    Cross-chip version of the reference's intra-GPU spatial patch
+    decomposition (images split into patches with a MAX_OFFSET halo,
+    dau_conv_forward_core.hpp:1669-1719): both the blur and the aggregation
+    lower to XLA convolutions, for which the SPMD partitioner inserts the
+    halo exchanges over ICI automatically - no manual ghost cells. Useful
+    for images too large for one chip's HBM.
+    """
+    return NamedSharding(mesh, P(None, None, axis, None))

@@ -99,3 +99,31 @@ def test_batch_sharding_places_batch_on_data_axis():
     x, _ = _data(batch=8)
     xs = jax.device_put(x, batch_sharding(mesh))
     assert xs.sharding.spec[0] == "data"
+
+
+def test_spatial_sharding_matches_single_device():
+    """H-axis sharding of the DAU conv: XLA SPMD inserts the halo exchanges
+    for the blur + aggregation convolutions (cross-chip analogue of the
+    reference's intra-GPU patch decomposition)."""
+    from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
+    from dau_convnet_tpu.parallel import spatial_sharding
+
+    rng = np.random.default_rng(0)
+    S, G, F = 3, 2, 4
+    x = jnp.asarray(rng.random((2, S, 64, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg = DAUConvSettings(kernel_size=9)
+
+    y_ref = jax.jit(lambda *a: dau_conv2d_op(cfg, *a))(x, w, mu1, mu2, sig)
+
+    mesh = make_mesh(jax.devices()[:8], model=1)
+    sh = spatial_sharding(mesh)
+    xs = jax.device_put(x, sh)
+    y_sh = jax.jit(lambda *a: dau_conv2d_op(cfg, *a),
+                   in_shardings=(sh, None, None, None, None),
+                   out_shardings=sh)(xs, w, mu1, mu2, sig)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
