@@ -24,6 +24,7 @@ class TrainState(tp.NamedTuple):
     params: tp.Any
     opt_state: tp.Any
     step: jax.Array
+    extra_vars: tp.Any = ()  # mutable collections (e.g. batch_stats)
 
 
 def softmax_xent(logits, labels):
@@ -45,13 +46,15 @@ def init_sharded(model, tx, mesh: Mesh, sample_input, rng=None,
 
     params = variables["params"]
     p_sh = var_sh["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    extra_sh = {k: v for k, v in var_sh.items() if k != "params"}
     opt_state = tx.init(params)
     # optimizer slots mirror param shardings; scalars replicated
     opt_sh = _opt_shardings(opt_state, params, p_sh, mesh)
     state = TrainState(params=params, opt_state=opt_state,
-                       step=jnp.zeros((), jnp.int32))
+                       step=jnp.zeros((), jnp.int32), extra_vars=extra)
     sh = TrainState(params=p_sh, opt_state=opt_sh,
-                    step=NamedSharding(mesh, P()))
+                    step=NamedSharding(mesh, P()), extra_vars=extra_sh)
     state = jax.device_put(state, sh)
     return state, sh
 
@@ -73,26 +76,36 @@ def _opt_shardings(opt_state, params, p_sh, mesh):
 
 
 def make_train_step(model, tx, mesh: Mesh, state_shardings,
-                    loss_fn=softmax_xent, has_batch_stats: bool = False,
-                    donate: bool = True):
+                    loss_fn=softmax_xent, donate: bool = True):
     """Build a jitted, mesh-sharded train step.
 
-    step(state, batch=(x NCHW, labels)) -> (state, loss); x is sharded over
-    the 'data' axis, loss replicated. With tensor parallelism on, the F-axis
-    param shardings flow through the conv and XLA inserts the collectives.
+    step(state, x, labels) -> (state, loss); x is sharded over the 'data'
+    axis, loss replicated. With tensor parallelism on, the F-axis param
+    shardings flow through the conv and XLA inserts the collectives.
+    Mutable collections (e.g. BatchNorm batch_stats) ride in
+    `state.extra_vars` and are threaded through `mutable=` automatically;
+    under data parallelism their per-shard values stay shard-local (like
+    per-replica batch norm), which is the common efficient choice.
     """
     data_sh = batch_sharding(mesh)
     repl = NamedSharding(mesh, P())
 
     def step(state: TrainState, x, labels):
-        def loss_of(params):
-            logits = model.apply({"params": params}, x)
-            return loss_fn(logits, labels)
+        mutable = list(state.extra_vars) if state.extra_vars else False
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        def loss_of(params):
+            variables = {"params": params, **dict(state.extra_vars or {})}
+            if mutable:
+                logits, updates = model.apply(variables, x, mutable=mutable)
+                return loss_fn(logits, labels), updates
+            return loss_fn(model.apply(variables, x), labels), {}
+
+        (loss, new_extra), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        extra = new_extra if mutable else state.extra_vars
+        return TrainState(params, opt_state, state.step + 1, extra), loss
 
     return jax.jit(
         step,

@@ -127,3 +127,29 @@ def test_spatial_sharding_matches_single_device():
                    out_shardings=sh)(xs, w, mu1, mu2, sig)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_training_with_batch_stats():
+    """BatchNorm models (the CIFAR net) train under the sharded step; the
+    mutable batch_stats collection rides in TrainState.extra_vars."""
+    from dau_convnet_tpu.models import DAUCifarNet
+
+    model = DAUCifarNet(train=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 3, 32, 32)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (8,)))
+    tx = optax.sgd(1e-3)
+    mesh = make_mesh(jax.devices()[:8], model=1)
+    state, sh = init_sharded(model, tx, mesh, x)
+    assert "batch_stats" in state.extra_vars
+    step = make_train_step(model, tx, mesh, sh, donate=False)
+
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # batch stats actually updated
+    bs = state.extra_vars["batch_stats"]
+    leaf = jax.tree_util.tree_leaves(bs)[0]
+    assert np.any(np.asarray(leaf) != 0.0)
