@@ -1,0 +1,48 @@
+"""Seeded fuzz: random configs vs the native oracle (fast, broad coverage)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dau_convnet_tpu.ops import DAUConvSettings, cpp_oracle, dau_conv2d_op
+
+from helpers import assert_matrix, random_case
+
+pytestmark = pytest.mark.skipif(not cpp_oracle.available(),
+                                reason="native oracle not built")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_configs(seed):
+    rng = np.random.default_rng(1000 + seed)
+    k = int(rng.choice([9, 17, 33]))
+    case = dict(
+        N=int(rng.integers(1, 4)),
+        W=int(rng.integers(5, 24)),
+        H=int(rng.integers(5, 24)),
+        S=int(rng.integers(1, 9)),
+        F=int(rng.integers(1, 9)),
+        units=(int(rng.integers(1, 3)), int(rng.integers(1, 3))),
+        max_kernel_size=k,
+        max_offset_init=float(rng.uniform(0.5, k // 2)),
+    )
+    interp = bool(rng.integers(0, 2))
+    x, w, mu1, mu2, sigma, err = random_case(rng, **case)
+    cfg = DAUConvSettings(kernel_size=k, unit_testing=True,
+                          use_interpolation=interp)
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, grads = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    gt_fwd = cpp_oracle.forward(x, w, mu1, mu2, [float(sigma)],
+                                use_interpolation=interp)
+    gt_bwd = cpp_oracle.backward(x, err, w, mu1, mu2, [float(sigma)],
+                                 unit_testing=True, use_interpolation=interp)
+    assert_matrix(np.asarray(y), gt_fwd, f"fwd[{case}]")
+    for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        assert_matrix(np.asarray(grads[i]), gt_bwd[i], f"{nm}[{case}]")
