@@ -123,6 +123,11 @@ class DAUConv2d(nn.Module):
     shape [1] (single shared Gaussian width, tiled internally; trainable
     only when `dau_sigma_trainable` - reference dau_conv.py:417-430), and
     bias [F].
+
+    The reference's `set_dau_variables_manually` (dau_conv.py:344-359) has
+    no direct analogue: flax parameters are external state - initialize with
+    `init()` then replace entries of the params pytree (shapes per
+    `dau_param_shape`), or pass custom initializers.
     """
 
     filters: int
