@@ -138,3 +138,12 @@ def test_normalization_variants(norm):
     assert_matrix(np.asarray(grads[2]), gt_bwd[2], "bwd_mu1_grad")
     assert_matrix(np.asarray(grads[3]), gt_bwd[3], "bwd_mu2_grad")
     assert_matrix(np.asarray(grads[4]), gt_bwd[4], "bwd_sigma_grad")
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_fused"])
+def test_engines_in_oracle_matrix(engine):
+    """The Pallas engines pass the same oracle contract as the XLA engine
+    (interpret mode on CPU; compiled equivalence is checked on TPU by
+    /tmp-style scripts and bench.py)."""
+    run_case(N=2, W=12, H=10, S=3, F=4, units=(2, 1), max_kernel_size=9,
+             max_offset_init=3, seed=11, engine=engine)
