@@ -134,6 +134,63 @@ def bench_alexnet(args):
     }))
 
 
+def bench_memtest(args):
+    """Long-run stability check - the TPU analogue of the reference's
+    `test_DAUConvMemtest` (10k re-runs for leak detection with offsets
+    initialized beyond bounds, dau_conv_test.py:635-682). Under XLA there is
+    no allocator to leak, so this checks sustained throughput stability and
+    numerical health over many chained steps with the clip path exercised."""
+    from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    N, S, F, G = 32, 128, 256, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((N, S, 6, 6)), dtype)
+    err = jnp.asarray(rng.standard_normal((N, F, 6, 6)), dtype)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, dtype)
+    # beyond-bounds init exercises the clip path (reference inits +-10 on k=9)
+    mu1 = jnp.asarray(rng.uniform(-10, 10, (1, S, G, F)), dtype)
+    mu2 = jnp.asarray(rng.uniform(-10, 10, (1, S, G, F)), dtype)
+    sigma = jnp.full((1,), 0.5, dtype)
+    cfg = DAUConvSettings(kernel_size=9, compute_sigma_grad=False,
+                          precision="default" if args.dtype == "bf16" else "highest")
+    bound = 4 - 0.1
+    lr = jnp.asarray(1e-5, dtype)
+
+    def step(carry):
+        x, w, mu1, mu2 = carry
+
+        def f(x, w, mu1, mu2):
+            y = dau_conv2d_op(cfg, x, w, jnp.clip(mu1, -bound, bound),
+                              jnp.clip(mu2, -bound, bound), sigma)
+            return jnp.vdot(y, err)
+
+        _, g = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(x, w, mu1, mu2)
+        return tuple(a - lr * gg.astype(a.dtype) for a, gg in zip(carry, g))
+
+    def body(c, _):
+        return step(c), None
+
+    iters = args.iters or 2000
+    fn = jax.jit(lambda c: jax.lax.scan(body, c, None, length=iters)[0])
+    carry = (x, w, mu1, mu2)
+    out = fn(carry)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(carry)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    finite = all(bool(jnp.all(jnp.isfinite(a.astype(jnp.float32)))) for a in out)
+    print(json.dumps({
+        "metric": f"memtest_steps_per_sec({iters}_chained_steps,{args.dtype})",
+        "value": round(iters / dt, 1),
+        "unit": "steps/sec",
+        "vs_baseline": 1.0 if finite else 0.0,
+        "detail": {"all_finite": finite, "total_s": round(dt, 2),
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=32)
@@ -143,7 +200,8 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["f32", "bf16"])
     ap.add_argument("--engine", default="xla", choices=["xla", "pallas", "pallas_fused"])
-    ap.add_argument("--model", default="alexnet", choices=["layer", "alexnet"])
+    ap.add_argument("--model", default="alexnet",
+                    choices=["layer", "alexnet", "memtest"])
     ap.add_argument("--variant", default="default",
                     choices=["small", "default", "large"])
     args = ap.parse_args()
@@ -151,12 +209,15 @@ def main():
     if args.dtype is None:
         # production dtype for the model benchmark; oracle-exact f32 for the
         # layer microbench (comparable to the reference's fp32 CUDA numbers)
-        args.dtype = "bf16" if args.model == "alexnet" else "f32"
+        args.dtype = "f32" if args.model == "layer" else "bf16"
     if args.iters is None:
-        args.iters = 20 if args.model == "alexnet" else 100
+        args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
 
     if args.model == "alexnet":
         bench_alexnet(args)
+        return
+    if args.model == "memtest":
+        bench_memtest(args)
         return
 
     from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op

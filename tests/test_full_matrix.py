@@ -71,3 +71,11 @@ def test_reference_s64_f256():
     # the densest reference config (dau_conv_test.py:454)
     run_case(N=4, W=6, H=6, S=64, F=256, units=(2, 1), max_kernel_size=17,
              max_offset_init=8)
+
+
+def test_reference_large_kernels_64px():
+    # the reference test_DAUConv large-kernel cases (dau_conv_test.py:463-465)
+    run_case(N=2, W=64, H=64, S=8, F=8, units=(2, 2), max_kernel_size=33,
+             max_offset_init=10)
+    run_case(N=2, W=64, H=64, S=4, F=4, units=(2, 2), max_kernel_size=65,
+             max_offset_init=20)
