@@ -1,4 +1,6 @@
 from .alexnet import ALEXNET_DAU_VARIANTS, AlexNetDAU
 from .cifar import DAUCifarNet
+from .resnet import RESNET_DAU_DEPTHS, DAUResNet
 
-__all__ = ["AlexNetDAU", "ALEXNET_DAU_VARIANTS", "DAUCifarNet"]
+__all__ = ["AlexNetDAU", "ALEXNET_DAU_VARIANTS", "DAUCifarNet",
+           "DAUResNet", "RESNET_DAU_DEPTHS"]

@@ -60,3 +60,40 @@ def test_alexnet_forward_shape():
     p = params["params"]
     assert p["dau_conv2"]["weights"].shape == (1, 96, 2, 256)
     assert p["dau_conv2"]["sigma"].shape == (1,)
+
+
+def test_dau_resnet_forward_and_train_smoke():
+    from dau_convnet_tpu.models import DAUResNet
+
+    model = DAUResNet(depth="18", width=8, num_classes=5, train=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 3, 64, 64)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, (2,)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    logits, _ = jax.jit(
+        lambda v, x: model.apply(v, x, mutable=["batch_stats"]))(variables, x)
+    assert logits.shape == (2, 5)
+
+    tx = optax.sgd(1e-4)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state, x, y):
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, mutable=["batch_stats"])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean(), updates
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        upd, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(variables["params"], upd)
+        return ({"params": params, "batch_stats": updates["batch_stats"]},
+                opt_state, loss)
+
+    losses = []
+    for _ in range(3):
+        variables, opt_state, loss = step(variables, opt_state, x, y)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
