@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import xla_engine
-from .gaussian import blur_kernel_size, depthwise_blur, gaussian_filters
+from .gaussian import depthwise_blur, gaussian_filters
 
 __all__ = ["DAUConvSettings", "dau_conv2d_op", "edge_gradient_mask"]
 

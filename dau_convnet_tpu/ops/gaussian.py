@@ -153,8 +153,7 @@ def depthwise_blur(x: jax.Array, filt: jax.Array,
     of channel c at [c*m : (c+1)*m].
     """
     n, chan, h, w = x.shape
-    single = filt.ndim == 2
-    if single:
+    if filt.ndim == 2:
         filt = filt[None]
     m, kh, kw = filt.shape
     # rhs layout OIHW with feature_group_count=chan: O = chan*m, I = 1.
@@ -169,6 +168,4 @@ def depthwise_blur(x: jax.Array, filt: jax.Array,
         feature_group_count=chan,
         precision=precision,
     )
-    if single:
-        return out
     return out
