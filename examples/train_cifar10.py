@@ -79,18 +79,24 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), bs, opt_state, loss, acc
 
+    from dau_convnet_tpu.data import epoch_batches, prefetch_to_device
+
     params, batch_stats = variables["params"], variables["batch_stats"]
     data_rng = np.random.default_rng(1)
     t0 = time.time()
-    for step in range(args.steps):
-        idx = data_rng.integers(0, len(x_all), (args.batch,))
-        x = jnp.asarray(x_all[idx])
-        y = jnp.asarray(y_all[idx])
-        params, batch_stats, opt_state, loss, acc = train_step(
-            params, batch_stats, opt_state, x, y)
-        if step % 20 == 0 or step == args.steps - 1:
-            print(f"step {step:4d}  loss {float(loss):.4f}  acc {float(acc):.3f}"
-                  f"  ({(time.time() - t0):.1f}s)", flush=True)
+    step = 0
+    while step < args.steps:
+        batches = epoch_batches(x_all, y_all, args.batch, rng=data_rng)
+        for x, y in prefetch_to_device(batches, size=2):
+            params, batch_stats, opt_state, loss, acc = train_step(
+                params, batch_stats, opt_state, x, y)
+            if step % 20 == 0 or step == args.steps - 1:
+                print(f"step {step:4d}  loss {float(loss):.4f}  "
+                      f"acc {float(acc):.3f}  ({(time.time() - t0):.1f}s)",
+                      flush=True)
+            step += 1
+            if step >= args.steps:
+                break
 
     if args.ckpt_dir:
         from dau_convnet_tpu.utils.checkpoint import save_checkpoint
