@@ -45,6 +45,9 @@ class AlexNetDAU(nn.Module):
     num_classes: int = 1000
     variant: str = "default"
     max_kernel_size: int = 9
+    # optional kernel-tier promise for all DAU layers (|mu| bound); pair with
+    # utils.tiers.tier_for_params for the between-epochs re-jit workflow
+    static_max_offset: tp.Optional[float] = None
     train: bool = True
     dtype: tp.Any = jnp.float32
 
@@ -67,6 +70,7 @@ class AlexNetDAU(nn.Module):
                                     ("dau_conv5", 256, True)):
             x = DAUConv2d(filters=filters, dau_units=units,
                           max_kernel_size=self.max_kernel_size,
+                          static_max_offset=self.static_max_offset,
                           activation=nn.relu, dtype=self.dtype,
                           name=name)(x)
             if pool:

@@ -34,6 +34,7 @@ class DAUCifarNet(nn.Module):
     train: bool = True
     dau_units: tp.Tuple[int, int] = (2, 2)
     max_kernel_size: int = 9
+    static_max_offset: tp.Optional[float] = None
     mu_learning_rate_factor: float = 500.0
     dtype: tp.Any = jnp.float32
 
@@ -50,6 +51,7 @@ class DAUCifarNet(nn.Module):
             x = dau_conv2d(
                 x, filters, dau_units=self.dau_units,
                 max_kernel_size=self.max_kernel_size,
+                static_max_offset=self.static_max_offset,
                 mu_learning_rate_factor=self.mu_learning_rate_factor,
                 normalizer_fn=norm, biases_initializer=None,
                 weights_initializer=nn.initializers.xavier_normal(),

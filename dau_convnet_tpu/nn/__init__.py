@@ -6,6 +6,7 @@ from .layers import (
     ZeroNLast,
     dau_conv1d,
     dau_conv2d,
+    set_dau_variables_manually,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "ZeroNLast",
     "dau_conv1d",
     "dau_conv2d",
+    "set_dau_variables_manually",
 ]

@@ -30,7 +30,8 @@ from ..ops.dau_conv import DAUConvSettings, dau_conv2d_op
 from ..ops.gaussian import blur_kernel_size
 
 __all__ = ["DAUGridMean", "ZeroNLast", "DAUConv2d", "DAUConv1d",
-           "dau_conv2d", "dau_conv1d", "DAU_UNITS_GROUP"]
+           "dau_conv2d", "dau_conv1d", "set_dau_variables_manually",
+           "DAU_UNITS_GROUP"]
 
 # the engine aggregates units in groups of 2; odd unit counts get one dummy
 # unit with zero weight and no gradient (reference dau_conv.py:223-224,
@@ -93,6 +94,72 @@ def ZeroNLast(base_init, last_num_to_zero, axis):
     return init
 
 
+def set_dau_variables_manually(variables, layer_path: str, *,
+                               weights=None, mu1=None, mu2=None,
+                               sigma=None, bias=None):
+    """Load custom/pretrained DAU parameters into a flax variables pytree.
+
+    Parity with the reference `DAUConv2d.set_dau_variables_manually`
+    (plugins/tensorflow/dau_conv/dau_conv.py:344-359), which replaces the
+    layer's TF variables with user-supplied tensors. Flax parameters are
+    external state, so this returns a NEW pytree with the named layer's
+    entries replaced (the input is not mutated).
+
+    Args:
+      variables: pytree from `model.init` - either the full
+        ``{"params": {...}}`` dict or the inner params dict.
+      layer_path: the layer's name, or a '/'-separated path for nested
+        modules (e.g. ``"block1/dau_conv2"``); ``""`` when the DAUConv2d
+        module itself was init'ed (params at the root).
+      weights, mu1, mu2, sigma, bias: arrays to install (any subset).
+        Shapes must match the existing parameters exactly
+        (``DAUConv2d.dau_param_shape``); ``sigma`` additionally accepts a
+        bare scalar (the layer stores the single shared sigma as shape
+        ``(1,)``, reference dau_conv.py:417-430). Values are cast to the
+        existing parameter dtype.
+
+    Returns: a pytree of the same structure with the new values installed.
+    """
+    try:  # FrozenDict (older flax) -> plain nested dicts
+        from flax.core import unfreeze
+        root = unfreeze(variables)
+    except Exception:
+        root = variables
+
+    def _copy(d):
+        return {k: (_copy(v) if isinstance(v, dict) else v) for k, v in d.items()}
+
+    root = _copy(dict(root))
+    node = root["params"] if "params" in root and isinstance(root["params"], dict) else root
+    path = [p for p in layer_path.split("/") if p]
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            raise KeyError(
+                f"layer path {layer_path!r} not found (missing {p!r}); "
+                f"available: {sorted(node) if isinstance(node, dict) else node}")
+        node = node[p]
+
+    updates = {"weights": weights, "mu1": mu1, "mu2": mu2,
+               "sigma": sigma, "bias": bias}
+    for name, value in updates.items():
+        if value is None:
+            continue
+        if name not in node:
+            raise KeyError(
+                f"layer {layer_path!r} has no parameter {name!r} "
+                f"(has {sorted(node)})")
+        old = node[name]
+        new = jnp.asarray(value, dtype=old.dtype)
+        if name == "sigma" and new.ndim == 0:
+            new = new.reshape(old.shape)
+        if new.shape != old.shape:
+            raise ValueError(
+                f"{layer_path}/{name}: shape {new.shape} != expected "
+                f"{old.shape} (DAU params are [1, S, G, F]; sigma is (1,))")
+        node[name] = new
+    return root
+
+
 def _rounded_units(dau_units: tp.Tuple[int, int]):
     """Round the unit count up to a multiple of DAU_UNITS_GROUP, growing the
     smaller grid axis (reference dau_conv.py:313-329). Returns
@@ -124,10 +191,10 @@ class DAUConv2d(nn.Module):
     only when `dau_sigma_trainable` - reference dau_conv.py:417-430), and
     bias [F].
 
-    The reference's `set_dau_variables_manually` (dau_conv.py:344-359) has
-    no direct analogue: flax parameters are external state - initialize with
-    `init()` then replace entries of the params pytree (shapes per
-    `dau_param_shape`), or pass custom initializers.
+    To load custom/pretrained DAU parameters (the reference's
+    `set_dau_variables_manually`, dau_conv.py:344-359), use the module-level
+    `set_dau_variables_manually(variables, layer_name, ...)` helper on the
+    initialized params pytree.
     """
 
     filters: int
@@ -163,7 +230,20 @@ class DAUConv2d(nn.Module):
     dau_sigma_trainable: bool = False
     dau_mu_interpolation: bool = True
     dau_sigma_init: float = 0.5
+    # Largest sigma a trainable sigma may grow to: sizes the static blur
+    # filter generously up front (the reference re-sizes its filter whenever
+    # sigma changes, base_dau_conv_layer.cpp:146-158; under jit the size is
+    # static, and the op clips sigma to the filter's support). None =
+    # the reference's own 17x17-filter hard limit (sigma 1.6, convolve.cu:40)
+    # when trainable, else just dau_sigma_init.
+    dau_sigma_max: tp.Optional[float] = None
     unit_testing: bool = False
+    # Static promise that |mu| stays <= this bound: shrinks the synthesized
+    # aggregation kernel to the matching tier and clips mu accordingly.
+    # Trace-time replacement for the reference's per-step amax(mu) kernel-tier
+    # dispatch (dau_conv_op.cpp:223-256); see utils.tiers.tier_for_params for
+    # the between-epochs re-jit workflow. None = derive from max_kernel_size.
+    static_max_offset: tp.Optional[float] = None
     engine: str = "xla"
     # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
     # (native bf16 MXU) otherwise
@@ -173,6 +253,13 @@ class DAUConv2d(nn.Module):
     @property
     def padding(self) -> int:
         return int(math.floor(self.max_kernel_size / 2.0))
+
+    def _sigma_cap(self) -> float:
+        """Largest sigma this layer's static blur filter must support."""
+        if not self.dau_sigma_trainable:
+            return self.dau_sigma_init
+        cap = 1.6 if self.dau_sigma_max is None else self.dau_sigma_max
+        return max(self.dau_sigma_init, cap)
 
     def _unit_info(self):
         return _rounded_units(tuple(self.dau_units))
@@ -244,8 +331,11 @@ class DAUConv2d(nn.Module):
             mu2 = jnp.zeros_like(mu2)
 
         # layer-level clip keeping units inside the kernel
-        # (reference dau_conv.py:183,188-195)
+        # (reference dau_conv.py:183,188-195); a static_max_offset tier
+        # promise tightens the clip so it is always safe.
         bound = math.floor(self.max_kernel_size / 2.0) - self.dau_unit_border_bound
+        if self.static_max_offset is not None:
+            bound = min(bound, self.static_max_offset)
         mu1 = jnp.clip(mu1, -bound, bound)
         mu2 = jnp.clip(mu2, -bound, bound)
 
@@ -261,8 +351,9 @@ class DAUConv2d(nn.Module):
             mu_learning_rate_factor=self.mu_learning_rate_factor,
             component_border_bound=self.dau_unit_border_bound,
             unit_testing=self.unit_testing,
-            blur_size=blur_kernel_size(self.dau_sigma_init),
+            blur_size=blur_kernel_size(self._sigma_cap()),
             compute_sigma_grad=self.dau_sigma_trainable,
+            static_max_offset=self.static_max_offset,
             engine=self.engine,
             precision=precision,
         )

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import xla_engine
+from ._edge import disabled_edges
 from .gaussian import depthwise_blur, gaussian_filters
 
 __all__ = ["DAUConvSettings", "dau_conv2d_op", "edge_gradient_mask"]
@@ -90,6 +91,13 @@ class DAUConvSettings:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.sigma_lower_bound > self.sigma_upper_bound:
+            raise ValueError(
+                f"sigma_lower_bound {self.sigma_lower_bound} exceeds the "
+                f"largest sigma the static blur_size={self.blur_size} filter "
+                f"supports ({self.sigma_upper_bound}); increase blur_size "
+                "(reference re-sizes the filter dynamically, "
+                "base_dau_conv_layer.cpp:146-158 - under jit it is static)")
 
     @property
     def max_offset(self) -> float:
@@ -110,21 +118,28 @@ class DAUConvSettings:
         floor(max_offset) + 1 in each direction."""
         return 2 * (int(math.floor(self.max_offset)) + 1) + 1
 
+    @property
+    def sigma_upper_bound(self) -> float:
+        """Largest sigma the static blur filter supports without truncation.
+
+        Inverse of the reference's dynamic filter sizing
+        2*ceil(5*sigma)+1 <= blur_size (base_dau_conv_layer.cpp:146-147):
+        the op clips sigma into [sigma_lower_bound, sigma_upper_bound], so a
+        trainable sigma can never silently truncate against the static
+        filter support."""
+        return (self.blur_size - 1) / 10.0
+
 
 def edge_gradient_mask(h: int, w: int, dtype=jnp.float32):
     """Static (h, w) mask zeroing the last row/col per the reference's GPU
     tile rule - only used under `unit_testing` for CUDA-compat differential
     tests (dau_conv_test.py:107-136, dau_conv_backward_core.hpp:2477-2560).
     """
-    def _disable(dim):
-        for tile in (64, 32, 16, 8):
-            if dim >= tile:
-                return dim % tile == 0
-        return False
+    zero_row, zero_col = disabled_edges(h, w)
     mask = jnp.ones((h, w), dtype=dtype)
-    if _disable(w):
+    if zero_col:
         mask = mask.at[:, w - 1].set(0.0)
-    if _disable(h):
+    if zero_row:
         mask = mask.at[h - 1, :].set(0.0)
     return mask
 
@@ -147,10 +162,15 @@ def _squeeze_params(w, mu1, mu2):
     return w, mu1, mu2, False
 
 
-def _sigma_scalar(sigma):
+def _sigma_scalar(cfg: DAUConvSettings, sigma):
     """The layer-shared blur sigma: first element of the (tiled) sigma tensor
-    (the reference shares one sigma across the layer; dau_conv.py:417-430)."""
-    return jnp.reshape(sigma, (-1,))[0]
+    (the reference shares one sigma across the layer; dau_conv.py:417-430),
+    clipped into [sigma_lower_bound, sigma_upper_bound] - the reference's
+    bounds guard (base_dau_conv_layer.cu:33-49) plus the static-filter
+    support bound replacing its dynamic blur-kernel re-sizing
+    (base_dau_conv_layer.cpp:146-158,415-434)."""
+    value = jnp.reshape(sigma, (-1,))[0]
+    return jnp.clip(value, cfg.sigma_lower_bound, cfg.sigma_upper_bound)
 
 
 def _filters(cfg: DAUConvSettings, sigma_value):
@@ -193,7 +213,7 @@ def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
     mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
     if mask is not None:
         w3 = w3 * mask
-    filt = _filters(cfg, _sigma_scalar(sigma))["w"]
+    filt = _filters(cfg, _sigma_scalar(cfg, sigma))["w"]
     return _blur_and_aggregate(cfg, x, filt, w3, mu13, mu23)
 
 
@@ -238,7 +258,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     mask = _unit_mask(s_ch, g_ch, f_ch, cfg.number_units_ignore, w3.dtype)
     w3m = w3 * mask if mask is not None else w3
 
-    sigma_value = _sigma_scalar(sigma)
+    sigma_value = _sigma_scalar(cfg, sigma)
     filts = _filters(cfg, sigma_value)
 
     # ---- input gradient: the forward engine applied to the error with

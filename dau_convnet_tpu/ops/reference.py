@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._edge import zero_edge_rows_inplace
+
 
 def _grid(size: int):
     c = size // 2
@@ -170,15 +172,7 @@ def offset_and_dot(x, error, mu1, mu2, num_dau_units_ignore=0,
     err = np.array(error, dtype=np.float64, copy=True)
 
     if ignore_edge_gradients:
-        def _disable(dim):
-            for tile in (64, 32, 16, 8):
-                if dim >= tile:
-                    return dim % tile == 0
-            return False
-        if _disable(w_sp):
-            err[:, :, :, w_sp - 1] = 0.0
-        if _disable(h):
-            err[:, :, h - 1, :] = 0.0
+        zero_edge_rows_inplace(err)
 
     pad = int(np.ceil(max(np.max(np.abs(mu1)), np.max(np.abs(mu2))) + 1))
     xp = np.zeros((n, s_ch, h + 2 * pad, w_sp + 2 * pad), dtype=np.float64)

@@ -16,7 +16,7 @@ import math
 import numpy as np
 
 __all__ = ["KERNEL_TIERS", "snap_kernel_tier", "tier_for_params",
-           "MAX_SUPPORTED_OFFSET"]
+           "max_offset_in_tree", "tier_for_tree", "MAX_SUPPORTED_OFFSET"]
 
 # same tiers as the reference CUDA engine (dau_conv_forward.cpp:147-159)
 KERNEL_TIERS = (9, 17, 33, 65)
@@ -46,3 +46,26 @@ def tier_for_params(mu1, mu2) -> int:
     bound = float(max(np.abs(np.asarray(mu1)).max(),
                       np.abs(np.asarray(mu2)).max()))
     return snap_kernel_tier(bound)
+
+
+def max_offset_in_tree(params) -> float:
+    """max |mu| over every mu1/mu2 leaf of a flax params pytree.
+
+    Host-side companion of the reference's per-step `caffe_gpu_amax` readback
+    (dau_conv_op.cpp:224-236) for whole-model re-jit workflows: call between
+    jit steps on concrete params, then rebuild the model with
+    `static_max_offset=math.ceil(result)` (or `snap_kernel_tier`) when the
+    tier changed. See examples/train_cifar10.py for the loop."""
+    import jax
+
+    worst = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        if name in ("mu1", "mu2"):
+            worst = max(worst, float(np.abs(np.asarray(leaf)).max()))
+    return worst
+
+
+def tier_for_tree(params) -> int:
+    """Kernel tier covering every DAU layer in a params pytree."""
+    return snap_kernel_tier(max_offset_in_tree(params))
