@@ -110,7 +110,8 @@ def bench_alexnet(args):
 
         return step, (params, opt_state)
 
-    dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype)
+    dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
+                     engine=args.engine)
     dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
     step, carry = make_step(dau, dau_params)
     t_dau = time_chained(step, carry, args.iters)
@@ -199,7 +200,8 @@ def main():
     ap.add_argument("--HW", type=int, default=16)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default=None, choices=["f32", "bf16"])
-    ap.add_argument("--engine", default="xla", choices=["xla", "pallas", "pallas_fused"])
+    ap.add_argument("--engine", default=None,
+                    choices=["xla", "fourier", "pallas", "pallas_fused"])
     ap.add_argument("--model", default="alexnet",
                     choices=["layer", "alexnet", "memtest"])
     ap.add_argument("--variant", default="default",
@@ -210,6 +212,8 @@ def main():
         # production dtype for the model benchmark; oracle-exact f32 for the
         # layer microbench (comparable to the reference's fp32 CUDA numbers)
         args.dtype = "f32" if args.model == "layer" else "bf16"
+    if args.engine is None:
+        args.engine = "xla"
     if args.iters is None:
         args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
 

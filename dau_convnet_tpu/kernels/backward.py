@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._vmem import check_vmem_budget
+
 __all__ = ["grad_tables_pallas"]
 
 
@@ -110,6 +112,12 @@ def grad_tables_pallas(x_blur_k, err, ks: int, interpret: bool | None = None):
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    check_vmem_budget("pallas (grad tables)", [
+        ("xb_planes", m * s * xb.shape[-1], 4),
+        ("err_planes", f * ep.shape[-1], 4),
+        ("table", ks * ks * f * m * s, 4),
+    ], interpret)
 
     kernel = functools.partial(_table_kernel, ks=ks, wp=wp, d_off=d_off, lv=lv)
     table = pl.pallas_call(

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import xla_engine
+from ._vmem import check_vmem_budget
 
 __all__ = ["aggregate_forward_pallas", "dau_forward_fused_pallas"]
 
@@ -100,6 +101,12 @@ def _run_aggregate(xb_flat, kern, ks, wp, l_out, h, w_sp, out_dtype,
         f_tile //= 2
 
     l_pad = _round128(l_out)
+    check_vmem_budget("pallas", [
+        ("xb_planes", s * lt, 4),
+        ("synth_kernel", ks * ks * s * f_tile, 4),
+        ("out_tile", f_tile * l_pad, 4),
+        ("acc", f_tile * l_pad, 4),
+    ], interpret)
     kernel = functools.partial(_agg_kernel, ks=ks, wp=wp, l_out=l_pad)
     out = pl.pallas_call(
         kernel,
@@ -242,6 +249,15 @@ def dau_forward_fused_pallas(x, w, mu1, mu2, blur_filter, ks: int,
         f_tile //= 2
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    scratch_len = _round128(l_blur + (ks - 1) * (wx + 1) + 128)
+    check_vmem_budget("pallas_fused", [
+        ("x_planes", s * x_flat.shape[-1], 4),
+        ("synth_kernel", ks * ks * s * f_tile, 4),
+        ("mask", l_blur, 4),
+        ("out_tile", f_tile * l_out, 4),
+        ("blur_scratch", s * scratch_len, 4),
+    ], interpret)
 
     # output lives on the same Wx-strided grid: out(i, j) at flat i*wx + j
     # reads xb at offset ky*wx + kx (the blur grid is already shifted by cb).

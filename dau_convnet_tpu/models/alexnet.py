@@ -48,6 +48,7 @@ class AlexNetDAU(nn.Module):
     # optional kernel-tier promise for all DAU layers (|mu| bound); pair with
     # utils.tiers.tier_for_params for the between-epochs re-jit workflow
     static_max_offset: tp.Optional[float] = None
+    engine: str = "xla"
     train: bool = True
     dtype: tp.Any = jnp.float32
 
@@ -71,6 +72,7 @@ class AlexNetDAU(nn.Module):
             x = DAUConv2d(filters=filters, dau_units=units,
                           max_kernel_size=self.max_kernel_size,
                           static_max_offset=self.static_max_offset,
+                          engine=self.engine,
                           activation=nn.relu, dtype=self.dtype,
                           name=name)(x)
             if pool:

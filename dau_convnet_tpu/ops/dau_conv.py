@@ -67,7 +67,10 @@ class DAUConvSettings:
     unit_testing: bool = False           # ignore_edge_gradients GPU-compat shim
     blur_size: int = 9                   # static blur-filter size (from sigma)
     compute_sigma_grad: bool = True
-    engine: str = "xla"                  # 'xla' | 'pallas' | 'pallas_fused'
+    # 'xla': dense synthesized-kernel convs (spatial); 'fourier': per-bin
+    # spectral contractions (same semantics, ~ks^2/(4G) fewer FLOPs - see
+    # fourier_engine.py); 'pallas'/'pallas_fused': hand-written kernels.
+    engine: str = "xla"
     # 'highest' = true-f32 MXU passes (oracle-exact; required for the
     # differential tests); 'default' = native bf16 MXU passes (production
     # speed; ~1e-2 relative error on f32 inputs, exact-enough for bf16).
@@ -87,7 +90,7 @@ class DAUConvSettings:
     def __post_init__(self):
         if self.kernel_size % 2 != 1 or self.kernel_size < 1:
             raise ValueError(f"kernel_size must be odd and >= 1, got {self.kernel_size}")
-        if self.engine not in ("xla", "pallas", "pallas_fused"):
+        if self.engine not in ("xla", "fourier", "pallas", "pallas_fused"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
@@ -190,6 +193,11 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
         from ..kernels.forward import aggregate_forward_pallas
         return aggregate_forward_pallas(
             x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation)
+    if cfg.engine == "fourier":
+        from . import fourier_engine
+        return fourier_engine.fourier_forward(
+            x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation,
+            precision=cfg.lax_precision)
     return xla_engine.aggregate_forward(
         x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation,
         precision=cfg.lax_precision)
@@ -291,6 +299,11 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         from ..kernels.backward import grad_tables_pallas
         table = grad_tables_pallas(xb, gy_for_params, cfg.synth_kernel_size)
         table = table.astype(xb.dtype)
+    elif cfg.engine == "fourier":
+        from . import fourier_engine
+        table = fourier_engine.fourier_grad_tables(
+            xb, gy_for_params, cfg.synth_kernel_size,
+            precision=cfg.lax_precision)
     else:
         table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size,
                                        precision=cfg.lax_precision)

@@ -147,3 +147,23 @@ def test_engines_in_oracle_matrix(engine):
     /tmp-style scripts and bench.py)."""
     run_case(N=2, W=12, H=10, S=3, F=4, units=(2, 1), max_kernel_size=9,
              max_offset_init=3, seed=11, engine=engine)
+
+
+@pytest.mark.parametrize("case", [
+    dict(N=2, W=12, H=10, S=3, F=4, units=(2, 1), max_kernel_size=9,
+         max_offset_init=3, seed=11),
+    dict(N=2, W=65, H=8, S=5, F=4, units=(1, 2), max_kernel_size=9,
+         max_offset_init=3, seed=0),
+    dict(N=2, W=16, H=16, S=4, F=4, units=(2, 2), max_kernel_size=17,
+         max_offset_init=6, seed=1),
+    dict(N=2, W=16, H=16, S=3, F=4, units=(2, 1), max_kernel_size=9,
+         max_offset_init=3, use_interpolation=False, seed=5),
+    dict(N=2, W=12, H=12, S=3, F=4, units=(1, 2), max_kernel_size=9,
+         max_offset_init=3, num_ignore=1, seed=4),
+], ids=["base", "patchsplit", "k17", "nointerp", "dummyunit"])
+def test_fourier_engine_in_oracle_matrix(case):
+    """The Fourier engine (per-frequency contraction, fourier_engine.py) is
+    semantically identical to the spatial engine: pinned against the numpy
+    oracle at the reference tolerance across geometry/tier/interp/dummy-unit
+    configs."""
+    run_case(**case, engine="fourier")
