@@ -188,7 +188,7 @@ def _filters(cfg: DAUConvSettings, sigma_value):
     )
 
 
-def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
+def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2, phi=None):
     if cfg.engine in ("pallas", "pallas_fused"):
         from ..kernels.forward import aggregate_forward_pallas
         return aggregate_forward_pallas(
@@ -197,13 +197,22 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2):
         from . import fourier_engine
         return fourier_engine.fourier_forward(
             x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation,
-            precision=cfg.lax_precision)
+            precision=cfg.lax_precision, phi=phi)
     return xla_engine.aggregate_forward(
         x_blur, w, mu1, mu2, cfg.synth_kernel_size, cfg.use_interpolation,
         precision=cfg.lax_precision)
 
 
-def _blur_and_aggregate(cfg: DAUConvSettings, x, filt, w, mu1, mu2):
+def _build_phi(cfg: DAUConvSettings, spatial, w3m, mu13, mu23):
+    """Bin-major spectral phase table shared by the fourier fwd + dx passes."""
+    from . import fourier_engine
+    h, wd = spatial
+    p1, p2, rb = fourier_engine.plan_bins(h, wd, cfg.synth_kernel_size)
+    return fourier_engine.build_phi(w3m, mu13, mu23, p1, p2, rb,
+                                    cfg.use_interpolation)
+
+
+def _blur_and_aggregate(cfg: DAUConvSettings, x, filt, w, mu1, mu2, phi=None):
     """Blur + offset-and-sum, the engine-dispatched forward chain. The
     'pallas_fused' engine computes the blur inside the aggregation kernel
     (the intermediate never touches HBM)."""
@@ -213,16 +222,16 @@ def _blur_and_aggregate(cfg: DAUConvSettings, x, filt, w, mu1, mu2):
             x, w, mu1, mu2, filt, cfg.synth_kernel_size,
             cfg.use_interpolation)
     x_blur = depthwise_blur(x, filt, precision=cfg.lax_precision)
-    return _aggregate(cfg, x_blur, w, mu1, mu2)
+    return _aggregate(cfg, x_blur, w, mu1, mu2, phi=phi)
 
 
-def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
+def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma, phi=None):
     w3, mu13, mu23, _ = _squeeze_params(w, mu1, mu2)
     mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
     if mask is not None:
         w3 = w3 * mask
     filt = _filters(cfg, _sigma_scalar(cfg, sigma))["w"]
-    return _blur_and_aggregate(cfg, x, filt, w3, mu13, mu23)
+    return _blur_and_aggregate(cfg, x, filt, w3, mu13, mu23, phi=phi)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -243,7 +252,17 @@ def dau_conv2d_op(cfg: DAUConvSettings, x, w, mu1, mu2, sigma):
 
 
 def _fwd_rule(cfg, x, w, mu1, mu2, sigma):
-    return _forward_impl(cfg, x, w, mu1, mu2, sigma), (x, w, mu1, mu2, sigma)
+    phi = None
+    if cfg.engine == "fourier":
+        # build the spectral phase table once; the bwd rule reuses it for the
+        # input gradient (Phi(-mu, S<->F) == conj(Phi), see fourier_engine)
+        w3, mu13, mu23, _ = _squeeze_params(w, mu1, mu2)
+        mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
+        if mask is not None:
+            w3 = w3 * mask
+        phi = _build_phi(cfg, x.shape[-2:], w3.astype(x.dtype), mu13, mu23)
+    y = _forward_impl(cfg, x, w, mu1, mu2, sigma, phi=phi)
+    return y, (x, w, mu1, mu2, sigma, phi)
 
 
 def _reduce_to_shape(g, shape):
@@ -260,7 +279,7 @@ def _reduce_to_shape(g, shape):
 
 
 def _bwd_rule(cfg: DAUConvSettings, res, gy):
-    x, w, mu1, mu2, sigma = res
+    x, w, mu1, mu2, sigma, phi = res
     w3, mu13, mu23, had_lead = _squeeze_params(w, mu1, mu2)
     s_ch, g_ch, f_ch = w3.shape
     mask = _unit_mask(s_ch, g_ch, f_ch, cfg.number_units_ignore, w3.dtype)
@@ -271,13 +290,23 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
 
     # ---- input gradient: the forward engine applied to the error with
     # S<->F transposed params, negated offsets, and the mirrored blur filter
-    # (reference base_dau_conv_layer.cu:294-325).
-    dx = _blur_and_aggregate(
-        cfg, gy, filts["error"],
-        jnp.transpose(w3m, (2, 1, 0)),
-        -jnp.transpose(mu13, (2, 1, 0)),
-        -jnp.transpose(mu23, (2, 1, 0)),
-    )
+    # (reference base_dau_conv_layer.cu:294-325). The fourier engine needs no
+    # transposed pass: it reuses the forward Phi conjugated. (Only with
+    # interpolation: the 2 bilinear taps of -mu mirror those of mu exactly,
+    # but the single floor-tap of interp-off does not - floor(-mu) != -floor(mu).)
+    if cfg.engine == "fourier" and phi is not None and cfg.use_interpolation:
+        from . import fourier_engine
+        gy_blur = depthwise_blur(gy, filts["error"],
+                                 precision=cfg.lax_precision)
+        dx = fourier_engine.fourier_input_grad(
+            gy_blur, phi, cfg.synth_kernel_size, precision=cfg.lax_precision)
+    else:
+        dx = _blur_and_aggregate(
+            cfg, gy, filts["error"],
+            jnp.transpose(w3m, (2, 1, 0)),
+            -jnp.transpose(mu13, (2, 1, 0)),
+            -jnp.transpose(mu23, (2, 1, 0)),
+        )
 
     # ---- parameter gradients: blur x with the derivative filters, build the
     # position table (conv-backward-filter), tap-gather per unit
@@ -298,17 +327,22 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     if cfg.engine in ("pallas", "pallas_fused"):
         from ..kernels.backward import grad_tables_pallas
         table = grad_tables_pallas(xb, gy_for_params, cfg.synth_kernel_size)
-        table = table.astype(xb.dtype)
+        grads = xla_engine.tap_gather(table.astype(xb.dtype), mu13, mu23,
+                                      cfg.synth_kernel_size,
+                                      cfg.use_interpolation)
     elif cfg.engine == "fourier":
+        # spectral tap-gather: unit grads straight from the cross-spectra,
+        # no materialized position table (the partial-iDFT matmul measured
+        # pathologically slow in XLA at AlexNet shapes - fourier_parts4.py)
         from . import fourier_engine
-        table = fourier_engine.fourier_grad_tables(
-            xb, gy_for_params, cfg.synth_kernel_size,
-            precision=cfg.lax_precision)
+        grads = fourier_engine.fourier_unit_grads(
+            xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
+            cfg.use_interpolation, precision=cfg.lax_precision)
     else:
         table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size,
                                        precision=cfg.lax_precision)
-    grads = xla_engine.tap_gather(table, mu13, mu23, cfg.synth_kernel_size,
-                                  cfg.use_interpolation)  # (M, S, G, F)
+        grads = xla_engine.tap_gather(table, mu13, mu23, cfg.synth_kernel_size,
+                                      cfg.use_interpolation)  # (M, S, G, F)
 
     lr = jnp.asarray(cfg.mu_learning_rate_factor, grads.dtype)
     dw = grads[0]

@@ -16,15 +16,16 @@ domain, where the sub-pixel bilinear shift of the reference's
 so the whole offset-and-sum collapses to one small complex matmul per
 frequency bin:
 
-    Y[n,f,k] = sum_s X[n,s,k] * Phi[s,f,k],
-    Phi[s,f,k] = sum_g w[s,g,f] * py[s,g,f,k1] * px[s,g,f,k2]
+    Y[k,n,f] = sum_s X[k,n,s] * Phi[k,s,f],
+    Phi[k,s,f] = sum_g w[s,g,f] * py[k1] * px[k2]      (k = k1*rb + k2)
 
 with FLOPs ~ 4*bins*N*S*F instead of 2*N*S*F*H*W*ks^2 - a 10-20x
-reduction at AlexNet shapes. The backward position table is the same trick
-on cross-spectra:
+reduction at AlexNet shapes (measured on a v5e: the per-bin matmul runs
+the conv4 aggregation in 0.13 ms vs 0.79 ms for the dense conv). The
+backward position table is the same trick on cross-spectra:
 
     T[s,f,p] = sum_{n,ij} xb[n,s,ij+p] err[n,f,ij]
-             = partial-iDFT_p( sum_n X[n,s,k] conj(E[n,f,k]) )
+             = partial-iDFT_p( sum_n X[k,s,n] conj(E[k,n,f]) )
 
 Everything is real-arithmetic matmuls (complex hand-rolled as re/im pairs
 so the production path can run bf16 on the MXU with f32 accumulation);
@@ -34,24 +35,33 @@ than the XLA FFT op. Zero-padding semantics match the oracle exactly: the
 DFT matrices embed the zero padding (signal support H < transform length
 P >= H + ks//2 guarantees no circular wrap).
 
+Layout/precision rules learned on-chip (benchmarks/fourier_parts.py):
+- Phi is built directly in bin-major (B, S, F) layout as ONE fused
+  product-reduce over g per re/im - a post-hoc transpose or per-g
+  accumulation loop costs ~4x the whole build in HBM traffic.
+- Phase ANGLES are always computed in f32: angles reach ~2 pi * f * k
+  (tens of radians), where bf16 quantization is O(0.25 rad) - the phase
+  VALUES may then be cast to bf16 safely ([-1, 1] range).
+- Cross-spectra are cast to the operand dtype before the partial iDFT
+  (fused into the matmul epilogue), halving the one large intermediate.
+
 The input gradient needs no second phase table: Phi(-mu) = conj(Phi(mu))
 exactly (floor/frac identities), so dx reuses the forward Phi conjugated
-and S<->F-transposed - the Fourier image of the reference's
-"transpose channels + negate mu" backprop identity
-(base_dau_conv_layer.cu:294-325).
+with the contraction taken over the F axis - the Fourier image of the
+reference's "transpose channels + negate mu" backprop identity
+(base_dau_conv_layer.cu:294-325). `dau_conv.py` stashes Phi in the VJP
+residuals so forward and backward share one build.
 """
 
 from __future__ import annotations
-
-import math
-from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fourier_forward", "fourier_grad_tables", "plan_bins"]
+__all__ = ["fourier_forward", "fourier_apply_phi", "fourier_input_grad",
+           "fourier_grad_tables", "build_phi", "plan_bins"]
 
 
 def plan_bins(h: int, w: int, ks: int):
@@ -73,7 +83,7 @@ def _dft_mats(n_in: int, p: int, nbins: int, dtype):
     return jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype)
 
 
-def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype, scale=1.0):
+def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype):
     """Partial inverse-rDFT matrices evaluating the real inverse transform at
     row indices `out1` and column indices `out2` (may be negative: circular).
 
@@ -91,7 +101,7 @@ def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype, scale=1.0):
     ang1 = 2.0 * np.pi * k1[:, None, None, None] * o1[None, None, :, :] / p1
     ang2 = 2.0 * np.pi * k2[None, :, None, None] * o2[None, None, :, :] / p2
     ang = ang1 + ang2  # (p1, rb, len1, len2)
-    coef = w2[None, :, None, None] * scale / (p1 * p2)
+    coef = w2[None, :, None, None] / (p1 * p2)
     cmat = (np.cos(ang) * coef).reshape(p1 * rb, len(out1) * len(out2))
     smat = (np.sin(ang) * coef).reshape(p1 * rb, len(out1) * len(out2))
     return jnp.asarray(cmat, dtype), jnp.asarray(smat, dtype)
@@ -103,12 +113,9 @@ def _rdft2(x, p1: int, p2: int, rb: int, precision):
     h, w = x.shape[-2:]
     dtype = x.dtype
     c2, s2 = _dft_mats(w, p2, rb, dtype)
-    # stage 1: columns (j -> k2)
     are = jnp.matmul(x, c2, precision=precision)
     aim = jnp.matmul(x, s2, precision=precision)
-    # stage 2: rows (i -> k1); contract the H axis
     c1, s1 = _dft_mats(h, p1, p1, dtype)
-    # (..., H, rb) x (H, p1) -> (..., p1, rb)
     xre = (jnp.einsum("...hx,hy->...yx", are, c1, precision=precision)
            - jnp.einsum("...hx,hy->...yx", aim, s1, precision=precision))
     xim = (jnp.einsum("...hx,hy->...yx", are, s1, precision=precision)
@@ -117,65 +124,116 @@ def _rdft2(x, p1: int, p2: int, rb: int, precision):
     return xre.reshape(*lead, p1 * rb), xim.reshape(*lead, p1 * rb)
 
 
-def _tap_phase(mu, p: int, nbins: int, use_interpolation: bool):
+def _tap_phase(mu, p: int, nbins: int, use_interpolation: bool, out_dtype,
+               bin_leading: bool = False):
     """Per-bin complex factor of the (bilinear) 1D shift-by-mu read, as
-    (re, im), shape mu.shape + (nbins,). Phase convention matches _rdft2 /
-    _idft_mats (correlation read at +d -> e^{+2 pi i k d / p})."""
-    f = jnp.floor(mu)
+    (re, im), shape mu.shape + (nbins,) - or (nbins,) + mu.shape when
+    bin_leading (built natively in that layout; a post-hoc transpose of the
+    factors costs ~0.1 ms/layer at AlexNet shapes). ANGLES are computed in
+    f32 regardless of out_dtype (see module docstring); results are cast."""
+    mu32 = mu.astype(jnp.float32)
+    f = jnp.floor(mu32)
     if use_interpolation:
-        a = mu - f
+        a = mu32 - f
     else:
-        a = jnp.zeros_like(mu)
-    k = jnp.arange(nbins, dtype=mu.dtype)
-    ang0 = (2.0 * np.pi / p) * f[..., None] * k
+        a = jnp.zeros_like(mu32)
+    if bin_leading:
+        k = jnp.arange(nbins, dtype=jnp.float32).reshape(
+            (nbins,) + (1,) * mu.ndim)
+        f = f[None]
+        b = a[None]
+    else:
+        k = jnp.arange(nbins, dtype=jnp.float32)
+        f = f[..., None]
+        b = a[..., None]
+    ang0 = (2.0 * np.pi / p) * f * k
     ang1 = ang0 + (2.0 * np.pi / p) * k
-    b = a[..., None]
     re = (1.0 - b) * jnp.cos(ang0) + b * jnp.cos(ang1)
     im = (1.0 - b) * jnp.sin(ang0) + b * jnp.sin(ang1)
-    return re, im
+    return re.astype(out_dtype), im.astype(out_dtype)
 
 
 def build_phi(w, mu1, mu2, p1: int, p2: int, rb: int,
               use_interpolation: bool = True):
-    """Phi[s,f,k] = sum_g w * py(k1) * px(k2), flat bins k = k1*rb + k2.
+    """Phi[k,s,f] = sum_g w * py(k1) * px(k2), bin-major, k = k1*rb + k2.
 
-    Built as G broadcast-FMA passes (G is 1-4), NOT a 3-operand einsum over
-    the phase factors (the round-1 tiny-batched-matmul trap)."""
+    One fused broadcast-product + reduce over g per component (no per-g
+    accumulation loop, no trailing transpose - both measured ~4x slower in
+    HBM traffic on a v5e; and never a 3-operand einsum over the phase
+    factors, the round-1 tiny-batched-matmul trap)."""
     s, g, f = w.shape
-    pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation)   # (S,G,F,p1)
-    pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation)   # (S,G,F,rb)
-    phire = jnp.zeros((s, f, p1 * rb), w.dtype)
-    phiim = jnp.zeros((s, f, p1 * rb), w.dtype)
-    for gi in range(g):
-        wre = w[:, gi, :, None, None]
-        yre = pyre[:, gi, :, :, None]
-        yim = pyim[:, gi, :, :, None]
-        xre = pxre[:, gi, :, None, :]
-        xim = pxim[:, gi, :, None, :]
-        re = (yre * xre - yim * xim)
-        im = (yre * xim + yim * xre)
-        phire = phire + (wre * re).reshape(s, f, p1 * rb)
-        phiim = phiim + (wre * im).reshape(s, f, p1 * rb)
-    return phire, phiim
+    dtype = w.dtype
+    pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
+                            bin_leading=True)  # (P1,S,G,F)
+    pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
+                            bin_leading=True)  # (rb,S,G,F)
+    # bin-major factor views: (P1, 1, S, G, F) x (1, rb, S, G, F)
+    yre = pyre[:, None]
+    yim = pyim[:, None]
+    xre = pxre[None]
+    xim = pxim[None]
+    wb = w[None, None]  # (1, 1, S, G, F)
+    phire = jnp.sum(wb * (yre * xre - yim * xim), axis=3)  # (P1, rb, S, F)
+    phiim = jnp.sum(wb * (yre * xim + yim * xre), axis=3)
+    return phire.reshape(p1 * rb, s, f), phiim.reshape(p1 * rb, s, f)
 
 
-def _bin_matmul(are, aim, bre, bim, precision, conj_b=False):
-    """Per-bin complex contraction: out[k,m,n] = sum_c A[k,m,c] * B[k,c,n]
-    (4 real batched matmuls; f32 accumulation via preferred_element_type)."""
+def _bin_matmul(are, aim, bre, bim, precision, conj_b=False,
+                contract=(2, 1), out_dtype=jnp.float32):
+    """Per-bin complex contraction over one axis pair (batched over bins,
+    dim 0). Default contracts A[k,m,c] x B[k,c,n] -> out[k,m,n]. 4 real
+    batched matmuls with f32 accumulation; output cast to out_dtype in the
+    matmul epilogue (fused by XLA)."""
     if conj_b:
         bim = -bim
-    dn = (((2,), (1,)), ((0,), (0,)))  # contract c, batch k
+    dn = (((contract[0],), (contract[1],)), ((0,), (0,)))
 
     def mm(x, y):
         return jax.lax.dot_general(x, y, dn, precision=precision,
                                    preferred_element_type=jnp.float32)
 
-    return (mm(are, bre) - mm(aim, bim)), (mm(are, bim) + mm(aim, bre))
+    re = (mm(are, bre) - mm(aim, bim)).astype(out_dtype)
+    im = (mm(are, bim) + mm(aim, bre)).astype(out_dtype)
+    return re, im
+
+
+def fourier_apply_phi(x_blur, phire, phiim, h, w_sp, p1, p2, rb, precision,
+                      contract_f: bool = False, conj_phi: bool = False):
+    """Spectral core: transform x, contract against Phi per bin, transform
+    back. With contract_f=True the contraction runs over Phi's F axis
+    (producing the S-channel output of the input-gradient path)."""
+    n = x_blur.shape[0]
+    dtype = x_blur.dtype
+    xre, xim = _rdft2(x_blur, p1, p2, rb, precision)       # (N,C,B)
+    xre_t = jnp.transpose(xre, (2, 0, 1))                  # (B,N,C)
+    xim_t = jnp.transpose(xim, (2, 0, 1))
+    if contract_f:
+        # out[k,n,s] = sum_f X[k,n,f] * conj(Phi)[k,s,f]
+        yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
+                               conj_b=not conj_phi, contract=(2, 2),
+                               out_dtype=jnp.float32)
+    else:
+        # out[k,n,f] = sum_s X[k,n,s] * Phi[k,s,f]
+        yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
+                               conj_b=conj_phi, contract=(2, 1),
+                               out_dtype=jnp.float32)
+    cout = yre.shape[-1]
+    cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(w_sp),
+                            jnp.float32)
+    # out[n,c,ij] = sum_k yre[k,n,c] C[k,ij] - yim[k,n,c] S[k,ij]
+    out = (jax.lax.dot_general(jnp.transpose(yre, (1, 2, 0)).reshape(-1, p1 * rb),
+                               cmat, (((1,), (0,)), ((), ())),
+                               precision=precision)
+           - jax.lax.dot_general(jnp.transpose(yim, (1, 2, 0)).reshape(-1, p1 * rb),
+                                 smat, (((1,), (0,)), ((), ())),
+                                 precision=precision))
+    return out.reshape(n, cout, h, w_sp).astype(dtype)
 
 
 def fourier_forward(x_blur, w, mu1, mu2, ks: int,
                     use_interpolation: bool = True,
-                    precision=jax.lax.Precision.DEFAULT):
+                    precision=jax.lax.Precision.DEFAULT,
+                    phi=None):
     """Offset-and-sum over (s, g) units via per-frequency contraction.
 
     Drop-in equivalent of xla_engine.aggregate_forward (same zero-padded
@@ -184,67 +242,145 @@ def fourier_forward(x_blur, w, mu1, mu2, ks: int,
     Args:
       x_blur: (N, S, H, W) pre-blurred input.
       w, mu1, mu2: (S, G, F) unit parameters (w already dummy-masked).
+      phi: optional prebuilt (phire, phiim) bin-major phase table.
 
     Returns: (N, F, H, W).
     """
     n, s, h, wd = x_blur.shape
-    f = w.shape[-1]
     p1, p2, rb = plan_bins(h, wd, ks)
     dtype = x_blur.dtype
+    if phi is None:
+        phi = build_phi(w.astype(dtype), mu1, mu2, p1, p2, rb,
+                        use_interpolation)
+    return fourier_apply_phi(x_blur, phi[0], phi[1], h, wd, p1, p2, rb,
+                             precision)
 
-    xre, xim = _rdft2(x_blur, p1, p2, rb, precision)       # (N,S,B)
-    phire, phiim = build_phi(w.astype(dtype), mu1.astype(dtype),
-                             mu2.astype(dtype), p1, p2, rb, use_interpolation)
 
-    # per-bin: Y[k,n,f] = sum_s X[k,n,s] Phi[k,s,f]
-    xre_t = jnp.transpose(xre, (2, 0, 1))
-    xim_t = jnp.transpose(xim, (2, 0, 1))
-    pre_t = jnp.transpose(phire, (2, 0, 1))
-    pim_t = jnp.transpose(phiim, (2, 0, 1))
-    yre, yim = _bin_matmul(xre_t, xim_t, pre_t, pim_t, precision)  # (B,N,F) f32
+def fourier_input_grad(gy_blur, phi, ks: int,
+                       precision=jax.lax.Precision.DEFAULT):
+    """Input gradient from the (mirror-)blurred error and the FORWARD Phi:
+    Phi(-mu, S<->F) = conj(Phi) with the contraction over F (reference
+    identity base_dau_conv_layer.cu:294-325 in the spectral domain).
 
-    # partial inverse rDFT at the H x W output positions
-    cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(wd),
-                            jnp.float32)
-    yre = jnp.transpose(yre, (1, 2, 0))  # (N,F,B)
-    yim = jnp.transpose(yim, (1, 2, 0))
-    out = (jnp.matmul(yre, cmat, precision=precision)
-           - jnp.matmul(yim, smat, precision=precision))
-    return out.reshape(n, f, h, wd).astype(dtype)
+    gy_blur: (N, F, H, W) -> (N, S, H, W).
+    """
+    n, f, h, wd = gy_blur.shape
+    p1, p2, rb = plan_bins(h, wd, ks)
+    return fourier_apply_phi(gy_blur, phi[0], phi[1], h, wd, p1, p2, rb,
+                             precision, contract_f=True)
+
+
+def fourier_cross_spectra(x_blur_k, err, ks: int,
+                          precision=jax.lax.Precision.DEFAULT):
+    """Cross-spectra That[k] = sum_n X[k] conj(E[k]) as (tre, tim), each
+    (B, M, S, F), plus the bin plan. Shared front half of
+    `fourier_grad_tables` / `fourier_unit_grads`."""
+    m, n, s, h, wd = x_blur_k.shape
+    p1, p2, rb = plan_bins(h, wd, ks)
+    dtype = x_blur_k.dtype
+    spec_dtype = jnp.float32 if precision == jax.lax.Precision.HIGHEST else dtype
+
+    xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)      # (M,N,S,B)
+    ere, eim = _rdft2(err, p1, p2, rb, precision)           # (N,F,B)
+
+    # Stack re/im along N: Re(X * conj(E)) = Xre*Ere + Xim*Eim and
+    # Im(X * conj(E)) = Xim*Ere - Xre*Eim are single K=2N contractions.
+    xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
+    es_re = jnp.concatenate([ere, eim], axis=0)              # (2N,F,B)
+    es_im = jnp.concatenate([-eim, ere], axis=0)
+    dn = (((1,), (0,)), ((3,), (2,)))  # contract 2N in place, batch B
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=precision,
+                                   preferred_element_type=jnp.float32)
+
+    tre = mm(xs, es_re).astype(spec_dtype)                   # (B,M,S,F)
+    tim = mm(xs, es_im).astype(spec_dtype)
+    return tre, tim, (p1, p2, rb)
+
+
+def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
+                       use_interpolation: bool = True,
+                       precision=jax.lax.Precision.DEFAULT):
+    """Per-unit parameter gradients WITHOUT materializing the position table:
+    the tap-gather applied in the spectral domain.
+
+        grad[m,s,g,f] = sum_p iw_p T[p,m,s,f]
+                      = sum_k coef_k (Re(phi_unit) tre - Im(phi_unit) tim)
+
+    because the tap-weighted sum of inverse-DFT factors IS the unit's phase
+    factor. One fused broadcast-reduce over the bins replaces the partial
+    iDFT matmul + one-hot tap-gather pair.
+
+    Returns: (M, S, G, F) float32 (same contract as tap_gather over
+    grad_tables output).
+    """
+    tre, tim, (p1, p2, rb) = fourier_cross_spectra(x_blur_k, err, ks,
+                                                   precision)
+    b, m, s, f = tre.shape
+    g = mu1.shape[1]
+    dtype = tre.dtype
+    pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
+                            bin_leading=True)   # (P1,S,G,F)
+    pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
+                            bin_leading=True)   # (rb,S,G,F)
+    w2 = np.full(rb, 2.0)
+    w2[0] = 1.0
+    if p2 % 2 == 0:
+        w2[-1] = 1.0
+    coef = jnp.asarray(w2 / (p1 * p2), dtype)
+
+    tre5 = tre.reshape(p1, rb, m, s, 1, f)
+    tim5 = tim.reshape(p1, rb, m, s, 1, f)
+    yre = pyre[:, None, None, :, :, :]
+    yim = pyim[:, None, None, :, :, :]
+    xre = (pxre * coef[:, None, None, None])[None, :, None, :, :, :]
+    xim = (pxim * coef[:, None, None, None])[None, :, None, :, :, :]
+    # Re(phi) = yre*xre - yim*xim ; Im(phi) = yre*xim + yim*xre
+    contrib = (tre5 * (yre * xre - yim * xim)
+               - tim5 * (yre * xim + yim * xre))
+    return jnp.sum(contrib.astype(jnp.float32), axis=(0, 1))
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,
                         precision=jax.lax.Precision.DEFAULT):
     """Position table T[m,s,f,ky,kx] = sum_{n,ij} xbk[m,n,s,ij+p] err[n,f,ij]
-    via cross-spectra - drop-in equivalent of xla_engine.grad_tables.
+    via cross-spectra - drop-in equivalent of xla_engine.grad_tables
+    (measured ~3x faster at AlexNet conv4, ~5x at conv2).
+
+    Layout discipline (each of these measured 3-13x slowdowns when violated,
+    benchmarks/fourier_parts*.py):
+    - the cross-spectrum contraction keeps every dim IN PLACE (batch = the
+      trailing bin axis, contraction = the N axis where it lies) and stacks
+      re/im along N so the per-bin matmul contracts K=2N, not two K=N halves;
+    - the partial iDFT consumes the (B, M, S, F) cross-spectrum K-MAJOR as
+      the rhs of dot(D^T, That) - never transposed;
+    - the table is returned POSITION-MAJOR (ks*ks leading) because that is
+      the layout this pipeline produces for free; xla_engine.tap_gather
+      accepts it via table_layout="pmsf".
 
     Args:
       x_blur_k: (M, N, S, H, W) derivative-blurred inputs.
       err: (N, F, H, W).
 
-    Returns: (M, S, F, ks, ks) float32.
+    Returns: (ks*ks, M, S, F) float32 position-major table.
     """
     m, n, s, h, wd = x_blur_k.shape
     f = err.shape[1]
-    p1, p2, rb = plan_bins(h, wd, ks)
     c = ks // 2
-
-    xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)      # (M,N,S,B)
-    ere, eim = _rdft2(err, p1, p2, rb, precision)           # (N,F,B)
-
-    # That[m,s,f,k] = sum_n X[m,n,s,k] * conj(E[n,f,k])
-    # per-bin matmul with A[k, m*s, n], B[k, n, f]
-    xre_t = jnp.transpose(xre, (3, 0, 2, 1)).reshape(-1, m * s, n)
-    xim_t = jnp.transpose(xim, (3, 0, 2, 1)).reshape(-1, m * s, n)
-    ere_t = jnp.transpose(ere, (2, 0, 1))
-    eim_t = jnp.transpose(eim, (2, 0, 1))
-    tre, tim = _bin_matmul(xre_t, xim_t, ere_t, eim_t, precision,
-                           conj_b=True)                      # (B, M*S, F) f32
+    tre, tim, (p1, p2, rb) = fourier_cross_spectra(x_blur_k, err, ks,
+                                                   precision)
+    spec_dtype = tre.dtype
 
     pos = np.arange(-c, c + 1)
-    cmat, smat = _idft_mats(p1, p2, rb, pos, pos, jnp.float32)
-    tre = jnp.transpose(tre, (1, 2, 0))  # (M*S, F, B)
-    tim = jnp.transpose(tim, (1, 2, 0))
-    table = (jnp.matmul(tre, cmat, precision=precision)
-             - jnp.matmul(tim, smat, precision=precision))
-    return table.reshape(m, s, f, ks, ks)
+    cmat, smat = _idft_mats(p1, p2, rb, pos, pos, spec_dtype)
+    # T[p, m, s, f] = sum_k C[k,p] tre[k,...] - S[k,p] tim[k,...]:
+    # lhs = D^T (81, B) tiny; rhs = That (B, M*S*F) already K-major.
+    dn2 = (((1,), (0,)), ((), ()))
+    table = (jax.lax.dot_general(cmat.T, tre.reshape(p1 * rb, -1), dn2,
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+             - jax.lax.dot_general(smat.T, tim.reshape(p1 * rb, -1), dn2,
+                                   precision=precision,
+                                   preferred_element_type=jnp.float32))
+    return table.reshape(ks * ks, m, s, f)

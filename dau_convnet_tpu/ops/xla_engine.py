@@ -191,14 +191,28 @@ def grad_tables(x_blur_k, err, ks: int,
     return table.reshape(m, s, f, ks, ks)
 
 
-def tap_gather(table, mu1, mu2, ks: int, use_interpolation: bool = True):
+def tap_gather(table, mu1, mu2, ks: int, use_interpolation: bool = True,
+               table_layout: str = "msfp"):
     """Per-unit gradients from a position table: the tap-gather.
 
     grad[m,s,g,f] = sum_taps iw * table[m,s,f, tap_position]
 
     Implemented as a fused one-hot multiply-reduce over the flat position
     axis (see synthesize_kernel for why not an einsum).
+
+    table_layout: "msfp" = (M, S, F, ks, ks) (grad_tables output) or
+    "pmsf" = (ks*ks, M, S, F) (the position-major layout the fourier
+    engine's iDFT produces for free).
     """
+    if table_layout == "pmsf":
+        p2, m, s, f = table.shape
+        g = mu1.shape[1]
+        p = jnp.arange(ks * ks, dtype=mu1.dtype).reshape(-1, 1, 1, 1)
+        mask = jnp.zeros((ks * ks, s, g, f), table.dtype)
+        for iw, tgt in _flat_taps(mu1, mu2, ks, use_interpolation):
+            mask = mask + (iw * (p == tgt)).astype(table.dtype)
+        return jnp.sum(table.reshape(p2, m, s, 1, f) * mask[:, None],
+                       axis=0)
     m, s, f = table.shape[:3]
     g = mu1.shape[1]
     tf = table.reshape(m, s, 1, f, ks * ks)
