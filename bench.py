@@ -24,6 +24,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+PEAK_BF16_FLOPS = 197e12  # TPU v5e
+
+
+def _default_engine(model: str) -> str:
+    """Production engine per benchmark: the Fourier engine wins the model
+    benchmark at every AlexNet layer shape (PERF_NOTES.md round-2 table);
+    the f32/HIGHEST layer microbench keeps the dense engine (oracle-exact
+    reference mode)."""
+    return "fourier" if model == "alexnet" else "xla"
+
 
 def time_chained(make_step, carry, iters=100):
     """Per-iteration wall time of `iters` data-dependent on-device steps.
@@ -68,6 +78,7 @@ def bench_alexnet(args):
     from flax import linen as nn
 
     from dau_convnet_tpu.models import AlexNetDAU
+    from dau_convnet_tpu.models.alexnet import ALEXNET_DAU_VARIANTS
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     N = args.N
@@ -110,6 +121,19 @@ def bench_alexnet(args):
 
         return step, (params, opt_state)
 
+    # algorithmic (gather-semantics) FLOPs of the DAU layers per step: the
+    # minimal work of the reference's 4-tap gather formulation, fwd + input
+    # grad + 3 derivative tables (2 FLOPs/MAC). An *algorithmic* MFU - how
+    # close the step is to the hardware floor of the math itself; engine
+    # formulations (dense synth conv: ~ks^2/(4G) more, fourier: ~bins/(H*W*4G)
+    # more) sit between this and the chip peak.
+    units = ALEXNET_DAU_VARIANTS[args.variant]
+    g_units = units[0] * units[1]
+    layer_px = ((96, 256, 27), (256, 384, 13), (384, 384, 13), (384, 256, 13))
+    taps = 4
+    gather_flops = sum(2 * N * s * g_units * f * hw * hw * taps * 5
+                       for s, f, hw in layer_px)
+
     dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
                      engine=args.engine)
     dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
@@ -130,6 +154,10 @@ def bench_alexnet(args):
             "dau_step_ms": round(t_dau * 1e3, 3),
             "conv3x3_step_ms": round(t_conv * 1e3, 3),
             "dau_units": AlexNetDAU(variant=args.variant).num_dau_units(),
+            "engine": args.engine,
+            # algorithmic MFU: reference-gather FLOPs / time / bf16 peak
+            "gather_mfu_pct": round(
+                gather_flops / t_dau / PEAK_BF16_FLOPS * 100, 2),
             "device": str(jax.devices()[0]),
         },
     }))
@@ -213,7 +241,7 @@ def main():
         # layer microbench (comparable to the reference's fp32 CUDA numbers)
         args.dtype = "f32" if args.model == "layer" else "bf16"
     if args.engine is None:
-        args.engine = "xla"
+        args.engine = _default_engine(args.model)
     if args.iters is None:
         args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
 

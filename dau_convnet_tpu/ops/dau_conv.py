@@ -331,9 +331,10 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                                       cfg.synth_kernel_size,
                                       cfg.use_interpolation)
     elif cfg.engine == "fourier":
-        # spectral tap-gather: unit grads straight from the cross-spectra,
-        # no materialized position table (the partial-iDFT matmul measured
-        # pathologically slow in XLA at AlexNet shapes - fourier_parts4.py)
+        # spectral tap-gather: unit grads straight from the cross-spectra.
+        # Measured best of three table strategies at AlexNet shapes (dense
+        # conv-backward-filter 2.1 ms, Pallas partial-iDFT 2.6 ms, this
+        # 1.64 ms at conv4; see PERF_NOTES.md round-2 table).
         from . import fourier_engine
         grads = fourier_engine.fourier_unit_grads(
             xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,

@@ -374,13 +374,11 @@ def fourier_grad_tables(x_blur_k, err, ks: int,
 
     pos = np.arange(-c, c + 1)
     cmat, smat = _idft_mats(p1, p2, rb, pos, pos, spec_dtype)
-    # T[p, m, s, f] = sum_k C[k,p] tre[k,...] - S[k,p] tim[k,...]:
-    # lhs = D^T (81, B) tiny; rhs = That (B, M*S*F) already K-major.
-    dn2 = (((1,), (0,)), ((), ()))
-    table = (jax.lax.dot_general(cmat.T, tre.reshape(p1 * rb, -1), dn2,
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
-             - jax.lax.dot_general(smat.T, tim.reshape(p1 * rb, -1), dn2,
-                                   precision=precision,
-                                   preferred_element_type=jnp.float32))
+    # T[p, m, s, f] = sum_k C[k,p] tre[k,...] - S[k,p] tim[k,...]: a plain
+    # (81, B) x (B, M*S*F) matmul that XLA runs pathologically slowly in
+    # every layout (benchmarks/fourier_parts4.py); Pallas chunked matmul
+    # runs it at HBM bandwidth.
+    from ..kernels.spectral import partial_idft
+    table = partial_idft(cmat, smat, tre.reshape(p1 * rb, -1),
+                         tim.reshape(p1 * rb, -1), out_dtype=spec_dtype)
     return table.reshape(ks * ks, m, s, f)
