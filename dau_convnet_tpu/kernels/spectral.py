@@ -21,72 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["partial_idft", "build_phi_pallas"]
-
-
-def _phi_kernel(w_ref, pyre_ref, pyim_ref, pxre_ref, pxim_ref,
-                phire_ref, phiim_ref):
-    """Grid step = one k1 row. Builds Phi[k1*rb : (k1+1)*rb, S, F] from the
-    per-axis tap phase factors without materializing anything in HBM.
-
-    w: (S, G, F); py*: (1, S, G, F) row k1; px*: (rb, S, G, F);
-    out: (rb, S, F) x2."""
-    g = w_ref.shape[1]
-    acc_re = jnp.zeros(phire_ref.shape, jnp.float32)
-    acc_im = jnp.zeros(phiim_ref.shape, jnp.float32)
-    for gi in range(g):
-        wg = w_ref[:, gi, :][None].astype(jnp.float32)        # (1, S, F)
-        yre = pyre_ref[0, :, gi, :][None].astype(jnp.float32)
-        yim = pyim_ref[0, :, gi, :][None].astype(jnp.float32)
-        xre = pxre_ref[:, :, gi, :].astype(jnp.float32)       # (rb, S, F)
-        xim = pxim_ref[:, :, gi, :].astype(jnp.float32)
-        acc_re += wg * (yre * xre - yim * xim)
-        acc_im += wg * (yre * xim + yim * xre)
-    phire_ref[...] = acc_re.astype(phire_ref.dtype)
-    phiim_ref[...] = acc_im.astype(phiim_ref.dtype)
-
-
-def build_phi_pallas(w, pyre, pyim, pxre, pxim, p1: int, rb: int,
-                     interpret: bool | None = None):
-    """Phi[k,s,f] = sum_g w * py(k1) * px(k2) built in VMEM per k1 row.
-
-    The XLA build materializes intermediate broadcast products in HBM
-    (~0.5 ms/layer at AlexNet conv4); here only the two output arrays touch
-    HBM. Factors are bin-leading: py* (p1, S, G, F), px* (rb, S, G, F).
-    Returns (phire, phiim), each (p1*rb, S, F) in w.dtype.
-    """
-    s, g, f = w.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kernel = _phi_kernel
-    phire, phiim = pl.pallas_call(
-        kernel,
-        grid=(p1,),
-        in_specs=[
-            pl.BlockSpec((s, g, f), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, g, f), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, g, f), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, s, g, f), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, s, g, f), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((rb, s, f), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, s, f), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((p1 * rb, s, f), w.dtype),
-            jax.ShapeDtypeStruct((p1 * rb, s, f), w.dtype),
-        ],
-        interpret=interpret,
-    )(w, pyre, pyim, pxre, pxim)
-    return phire, phiim
+__all__ = ["partial_idft"]
 
 
 def _idft_kernel(cm_ref, sm_ref, tre_ref, tim_ref, out_ref):

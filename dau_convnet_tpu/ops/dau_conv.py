@@ -255,7 +255,11 @@ def _fwd_rule(cfg, x, w, mu1, mu2, sigma):
     phi = None
     if cfg.engine == "fourier":
         # build the spectral phase table once; the bwd rule reuses it for the
-        # input gradient (Phi(-mu, S<->F) == conj(Phi), see fourier_engine)
+        # input gradient (Phi(-mu, S<->F) == conj(Phi), see fourier_engine).
+        # (Stashing the forward SPECTRUM for the m=w cross-spectra operand
+        # was tried and REGRESSED the step 11.7 -> 12.3 ms: pinning it in
+        # residuals and splitting the cross-matmul cost more than the saved
+        # blur+DFT - see PERF_NOTES.md negative results.)
         w3, mu13, mu23, _ = _squeeze_params(w, mu1, mu2)
         mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
         if mask is not None:

@@ -281,13 +281,10 @@ def fourier_cross_spectra(x_blur_k, err, ks: int,
     spec_dtype = jnp.float32 if precision == jax.lax.Precision.HIGHEST else dtype
 
     xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)      # (M,N,S,B)
-    ere, eim = _rdft2(err, p1, p2, rb, precision)           # (N,F,B)
-
     # Stack re/im along N: Re(X * conj(E)) = Xre*Ere + Xim*Eim and
     # Im(X * conj(E)) = Xim*Ere - Xre*Eim are single K=2N contractions.
     xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
-    es_re = jnp.concatenate([ere, eim], axis=0)              # (2N,F,B)
-    es_im = jnp.concatenate([-eim, ere], axis=0)
+    es_re, es_im = _err_spectrum_stacked(err, p1, p2, rb, precision)
     dn = (((1,), (0,)), ((3,), (2,)))  # contract 2N in place, batch B
 
     def mm(a, b):
@@ -299,26 +296,20 @@ def fourier_cross_spectra(x_blur_k, err, ks: int,
     return tre, tim, (p1, p2, rb)
 
 
-def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
-                       use_interpolation: bool = True,
-                       precision=jax.lax.Precision.DEFAULT):
-    """Per-unit parameter gradients WITHOUT materializing the position table:
-    the tap-gather applied in the spectral domain.
+def _err_spectrum_stacked(err, p1, p2, rb, precision):
+    """Error spectrum with re/im stacked along N (see fourier_cross_spectra):
+    (es_re, es_im), each (2N, F, B)."""
+    ere, eim = _rdft2(err, p1, p2, rb, precision)           # (N,F,B)
+    return (jnp.concatenate([ere, eim], axis=0),
+            jnp.concatenate([-eim, ere], axis=0))
 
-        grad[m,s,g,f] = sum_p iw_p T[p,m,s,f]
-                      = sum_k coef_k (Re(phi_unit) tre - Im(phi_unit) tim)
 
-    because the tap-weighted sum of inverse-DFT factors IS the unit's phase
-    factor. One fused broadcast-reduce over the bins replaces the partial
-    iDFT matmul + one-hot tap-gather pair.
-
-    Returns: (M, S, G, F) float32 (same contract as tap_gather over
-    grad_tables output).
-    """
-    tre, tim, (p1, p2, rb) = fourier_cross_spectra(x_blur_k, err, ks,
-                                                   precision)
+def _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb, use_interpolation):
+    """grad[m,s,g,f] = sum_k coef_k (Re(phi_unit) tre - Im(phi_unit) tim)
+    over cross-spectra (B, M, S, F) - the tap-gather in the spectral
+    domain (the tap-weighted sum of inverse-DFT factors IS the unit's
+    phase factor)."""
     b, m, s, f = tre.shape
-    g = mu1.shape[1]
     dtype = tre.dtype
     pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
                             bin_leading=True)   # (P1,S,G,F)
@@ -340,6 +331,27 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
     contrib = (tre5 * (yre * xre - yim * xim)
                - tim5 * (yre * xim + yim * xre))
     return jnp.sum(contrib.astype(jnp.float32), axis=(0, 1))
+
+
+def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
+                       use_interpolation: bool = True,
+                       precision=jax.lax.Precision.DEFAULT):
+    """Per-unit parameter gradients WITHOUT materializing the position table:
+    cross-spectra + the tap-gather applied in the spectral domain
+    (_spectral_gather). One fused broadcast-reduce over the bins replaces
+    the partial-iDFT matmul + one-hot tap-gather pair.
+
+    Args:
+      x_blur_k: (M, N, S, H, W) derivative-blurred inputs.
+      err: (N, F, H, W) back-propagated error.
+
+    Returns: (M, S, G, F) float32 (same contract as tap_gather over
+    grad_tables output).
+    """
+    tre, tim, (p1, p2, rb) = fourier_cross_spectra(x_blur_k, err, ks,
+                                                   precision)
+    return _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb,
+                            use_interpolation)
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,
