@@ -6,7 +6,6 @@ both engines at AlexNet-DAU layer shapes, bf16. Run on the real chip:
 """
 
 import sys
-import time
 
 import numpy as np
 
@@ -25,7 +24,6 @@ SHAPES = {
     "conv3": (256, 384, 13),
     "conv4": (384, 384, 13),
 }
-
 
 def probe(name):
     S, F, HW = SHAPES[name]
@@ -63,7 +61,6 @@ def probe(name):
         print(f"  {cname:16s} {t * 1e3:8.3f} ms", flush=True)
     print(f"  fwd speedup {out['dense_fwd'] / out['fourier_fwd']:.2f}x   "
           f"tables speedup {out['dense_tables'] / out['fourier_tables']:.2f}x")
-
 
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}", flush=True)

@@ -9,7 +9,6 @@ benchmarks/profile_step.py
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -35,12 +34,10 @@ LAYERS = [
 G = 2
 KS = 9
 
-
 def timed(name, make_step, carry, iters=60):
     t = time_chained(make_step, carry, iters)
     print(f"  {name:34s} {t * 1e3:8.3f} ms")
     return t
-
 
 def layer_profile(name, S, F, HW):
     print(f"{name}: S={S} F={F} {HW}x{HW} N={N} G={G} ks={KS} bf16")
@@ -135,12 +132,10 @@ def layer_profile(name, S, F, HW):
         print(f"  {k:16s} {fl / 1e9:7.1f} GFLOP  -> {eff:5.1f}% of bf16 peak")
     return res
 
-
 def shared_cost():
     """Stem + fc + optimizer cost proxy: the conv3x3 baseline minus its
     conv FLOPs is dominated by the same shared parts."""
     print("shared parts proxy: see conv3x3_step_ms in bench output")
-
 
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")

@@ -14,7 +14,6 @@ few hundred KB regardless of model shape.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

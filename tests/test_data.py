@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from dau_convnet_tpu.data import epoch_batches, prefetch_to_device
 from dau_convnet_tpu.parallel import batch_sharding, make_mesh

@@ -37,7 +37,7 @@ def _layer_fwd_bwd(op, x, err, mu_lr):
 
 def run_layer_case(N, W, H, S, F, units, max_kernel_size, max_offset_init,
                    *, single_dim=False, forbid_positive=False, seed=0,
-                   sigma_trainable=False):
+                   sigma_trainable=False, engine="xla"):
     rng = np.random.default_rng(seed)
     x = rng.random((N, S, H, W)).astype(np.float32)
     err = rng.standard_normal((N, F, H, W)).astype(np.float32)
@@ -56,6 +56,7 @@ def run_layer_case(N, W, H, S, F, units, max_kernel_size, max_offset_init,
         mu_learning_rate_factor=mu_lr,
         dau_sigma_trainable=sigma_trainable,
         unit_testing=True,
+        engine=engine,
     )
     if not single_dim:
         kwargs["mu2_initializer"] = uniform_init
@@ -126,6 +127,20 @@ def test_layer_1d():
                    seed=4)
 
 
+def test_layer_1d_fourier():
+    # the 1D/causal masks live in the blur filter; the fourier aggregation
+    # sees the same (mu2=0) geometry
+    run_layer_case(N=2, W=16, H=8, S=3, F=4, units=(2, 2), max_kernel_size=9,
+                   max_offset_init=3, single_dim=True, forbid_positive=True,
+                   seed=4, engine="fourier")
+
+
+def test_layer_sigma_trainable_fourier():
+    run_layer_case(N=1, W=8, H=8, S=2, F=2, units=(2, 1), max_kernel_size=9,
+                   max_offset_init=3, seed=3, sigma_trainable=True,
+                   engine="fourier")
+
+
 def test_stride_emulation():
     op = DAUConv2d(filters=4, dau_units=(2, 1), max_kernel_size=9, strides=2,
                    use_bias=False)
@@ -185,7 +200,6 @@ def test_param_shapes_and_dummy_unit_zeroing():
 
 
 def test_constraints_and_regularizers():
-    import optax
 
     def unit_norm_constraint(w):
         return w / (jnp.abs(w).max() + 1e-9)

@@ -10,7 +10,7 @@ from dau_convnet_tpu.kernels import (
     grad_tables_pallas,
 )
 from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op, xla_engine
-from dau_convnet_tpu.ops.gaussian import depthwise_blur, gaussian_filters
+from dau_convnet_tpu.ops.gaussian import gaussian_filters
 
 from helpers import assert_matrix, oracle_fwd_bwd, random_case
 
