@@ -24,10 +24,12 @@ from dau_convnet_tpu.parallel import (
 
 
 class TinyDAUNet(nn.Module):
+    engine: str = "xla"
+
     @nn.compact
     def __call__(self, x):
         x = DAUConv2d(filters=8, dau_units=(2, 1), max_kernel_size=9,
-                      use_bias=False)(x)
+                      use_bias=False, engine=self.engine)(x)
         x = nn.relu(x)
         x = x.mean(axis=(2, 3))
         return nn.Dense(4)(x)
@@ -44,9 +46,10 @@ def test_eight_devices_available():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.parametrize("engine", ["xla", "fourier"])
 @pytest.mark.parametrize("model_par", [1, 2], ids=["dp", "dp_x_tp"])
-def test_sharded_step_matches_single_device(model_par):
-    model = TinyDAUNet()
+def test_sharded_step_matches_single_device(model_par, engine):
+    model = TinyDAUNet(engine=engine)
     x, y = _data()
     tx = optax.sgd(0.1)
 
@@ -101,10 +104,12 @@ def test_batch_sharding_places_batch_on_data_axis():
     assert xs.sharding.spec[0] == "data"
 
 
-def test_spatial_sharding_matches_single_device():
+@pytest.mark.parametrize("engine", ["xla", "fourier"])
+def test_spatial_sharding_matches_single_device(engine):
     """H-axis sharding of the DAU conv: XLA SPMD inserts the halo exchanges
     for the blur + aggregation convolutions (cross-chip analogue of the
-    reference's intra-GPU patch decomposition)."""
+    reference's intra-GPU patch decomposition). For the fourier engine the
+    DFT matmuls contract the sharded H axis (SPMD gathers it)."""
     from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
     from dau_convnet_tpu.parallel import spatial_sharding
 
@@ -115,7 +120,7 @@ def test_spatial_sharding_matches_single_device():
     mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
     mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
     sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
-    cfg = DAUConvSettings(kernel_size=9)
+    cfg = DAUConvSettings(kernel_size=9, engine=engine)
 
     y_ref = jax.jit(lambda *a: dau_conv2d_op(cfg, *a))(x, w, mu1, mu2, sig)
 
