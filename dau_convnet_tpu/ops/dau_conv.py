@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from . import xla_engine
 from ._edge import disabled_edges
-from .gaussian import depthwise_blur, gaussian_filters
+from .gaussian import (depthwise_blur, gaussian_factor_filters,
+                       gaussian_filters, rank1_blur, rank1_blur_stack)
 
 __all__ = ["DAUConvSettings", "dau_conv2d_op", "edge_gradient_mask"]
 
@@ -212,16 +213,45 @@ def _build_phi(cfg: DAUConvSettings, spatial, w3m, mu13, mu23):
                                     cfg.use_interpolation)
 
 
-def _blur_and_aggregate(cfg: DAUConvSettings, x, filt, w, mu1, mu2, phi=None):
+def _factor_filters(cfg: DAUConvSettings, sigma_value):
+    """Separable 1D factorization of the blur filters (see
+    gaussian.gaussian_factor_filters)."""
+    return gaussian_factor_filters(
+        sigma_value,
+        size=cfg.blur_size,
+        single_dim_kernel=cfg.single_dim_kernel,
+        forbid_positive_dim1=cfg.forbid_positive_dim1,
+        unit_normalization=cfg.unit_normalization,
+        square_unit_normalization=cfg.square_unit_normalization,
+        dtype=jnp.dtype(jnp.result_type(sigma_value, jnp.float32)),
+    )
+
+
+def _blur(cfg: DAUConvSettings, x, sigma_value, name: str):
+    """Engine-dispatched blur. The fourier production engine uses the
+    separable banded-matmul form (identical zero-pad semantics; XLA lowers
+    grouped NCHW depthwise convs off the TPU fast path - measured 0.89 ms
+    for the M=3 filter stack at AlexNet conv2 vs ~0.03 ms as matmuls); the
+    dense/pallas engines keep the depthwise conv."""
+    if cfg.engine == "fourier":
+        vecs, terms = _factor_filters(cfg, sigma_value)
+        return rank1_blur(x, vecs, terms[name], precision=cfg.lax_precision)
+    return depthwise_blur(x, _filters(cfg, sigma_value)[name],
+                          precision=cfg.lax_precision)
+
+
+def _blur_and_aggregate(cfg: DAUConvSettings, x, sigma_value, w, mu1, mu2,
+                        phi=None, blur_name: str = "w"):
     """Blur + offset-and-sum, the engine-dispatched forward chain. The
     'pallas_fused' engine computes the blur inside the aggregation kernel
     (the intermediate never touches HBM)."""
     if cfg.engine == "pallas_fused":
         from ..kernels.forward import dau_forward_fused_pallas
+        filt = _filters(cfg, sigma_value)[blur_name]
         return dau_forward_fused_pallas(
             x, w, mu1, mu2, filt, cfg.synth_kernel_size,
             cfg.use_interpolation)
-    x_blur = depthwise_blur(x, filt, precision=cfg.lax_precision)
+    x_blur = _blur(cfg, x, sigma_value, blur_name)
     return _aggregate(cfg, x_blur, w, mu1, mu2, phi=phi)
 
 
@@ -230,8 +260,8 @@ def _forward_impl(cfg: DAUConvSettings, x, w, mu1, mu2, sigma, phi=None):
     mask = _unit_mask(*w3.shape, cfg.number_units_ignore, w3.dtype)
     if mask is not None:
         w3 = w3 * mask
-    filt = _filters(cfg, _sigma_scalar(cfg, sigma))["w"]
-    return _blur_and_aggregate(cfg, x, filt, w3, mu13, mu23, phi=phi)
+    return _blur_and_aggregate(cfg, x, _sigma_scalar(cfg, sigma),
+                               w3, mu13, mu23, phi=phi)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -300,16 +330,16 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     # but the single floor-tap of interp-off does not - floor(-mu) != -floor(mu).)
     if cfg.engine == "fourier" and phi is not None and cfg.use_interpolation:
         from . import fourier_engine
-        gy_blur = depthwise_blur(gy, filts["error"],
-                                 precision=cfg.lax_precision)
+        gy_blur = _blur(cfg, gy, sigma_value, "error")
         dx = fourier_engine.fourier_input_grad(
             gy_blur, phi, cfg.synth_kernel_size, precision=cfg.lax_precision)
     else:
         dx = _blur_and_aggregate(
-            cfg, gy, filts["error"],
+            cfg, gy, sigma_value,
             jnp.transpose(w3m, (2, 1, 0)),
             -jnp.transpose(mu13, (2, 1, 0)),
             -jnp.transpose(mu23, (2, 1, 0)),
+            blur_name="error",
         )
 
     # ---- parameter gradients: blur x with the derivative filters, build the
@@ -321,12 +351,17 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         gy_for_params = gy * edge_gradient_mask(h, w_sp, gy.dtype)
 
     filter_names = ["w", "dmu1", "dmu2"] + (["dsigma"] if cfg.compute_sigma_grad else [])
-    fstack = jnp.stack([filts[k] for k in filter_names])  # (M, kb, kb)
-    m = fstack.shape[0]
     n, _, h, w_sp = x.shape
-    xb = depthwise_blur(x, fstack, precision=cfg.lax_precision)  # (N, S*M, H, W)
-    xb = xb.reshape(n, s_ch, m, h, w_sp)
-    xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
+    if cfg.engine == "fourier":
+        vecs, fterms = _factor_filters(cfg, sigma_value)
+        xb = rank1_blur_stack(x, vecs, fterms, filter_names,
+                              precision=cfg.lax_precision)  # (M, N, S, H, W)
+    else:
+        fstack = jnp.stack([filts[k] for k in filter_names])  # (M, kb, kb)
+        m = fstack.shape[0]
+        xb = depthwise_blur(x, fstack, precision=cfg.lax_precision)  # (N, S*M, H, W)
+        xb = xb.reshape(n, s_ch, m, h, w_sp)
+        xb = jnp.transpose(xb, (2, 0, 1, 3, 4))        # (M, N, S, H, W)
 
     if cfg.engine in ("pallas", "pallas_fused"):
         from ..kernels.backward import grad_tables_pallas
