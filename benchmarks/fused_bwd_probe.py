@@ -1,0 +1,59 @@
+"""Fused Pallas backward vs unfused spectral gather, real TPU, bf16.
+
+Run: python benchmarks/fused_bwd_probe.py [conv2 conv3 conv4 conv5]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from bench import time_chained  # noqa: E402
+from dau_convnet_tpu.ops import fourier_engine as fe  # noqa: E402
+
+DTYPE = jnp.bfloat16
+N, G, KS, M = 32, 2, 9, 3
+PREC = jax.lax.Precision.DEFAULT
+SHAPES = {"conv2": (96, 256, 27), "conv3": (256, 384, 13),
+          "conv4": (384, 384, 13), "conv5": (384, 256, 13)}
+
+
+def probe(name):
+    S, F, HW = SHAPES[name]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((N, S, HW, HW)), DTYPE)
+    err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), DTYPE)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+    xbm = jnp.stack([x, x * 0.5, -x])
+    print(f"{name}: S={S} F={F} {HW}x{HW}", flush=True)
+
+    # correctness first (bf16 tolerance)
+    t0 = time.time()
+    a = jax.jit(lambda: fe.fourier_unit_grads(
+        xbm, err, mu1, mu2, KS, True, precision=PREC))()
+    b = jax.jit(lambda: fe.fourier_unit_grads_fused(
+        xbm, err, mu1, mu2, KS, True, precision=PREC))()
+    rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+    print(f"  rel diff {rel:.2e}  (compile+run {time.time()-t0:.0f}s)",
+          flush=True)
+    assert rel < 3e-2, rel
+
+    def keep(y, like):
+        return like + jnp.sum(y).astype(like.dtype) * 0.0
+
+    for label, fn in (("unfused", fe.fourier_unit_grads),
+                      ("fused  ", fe.fourier_unit_grads_fused)):
+        t = time_chained(lambda c, fn=fn: keep(
+            fn(xbm, c, mu1, mu2, KS, True, precision=PREC), c), err, 30)
+        print(f"  {label} {t*1e3:8.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    print(f"device: {jax.devices()[0]}", flush=True)
+    for nm in (sys.argv[1:] or ["conv4"]):
+        probe(nm)

@@ -38,6 +38,13 @@ def main(name):
 
     timed("build_phi XLA (bin-leading)", lambda c: keep(jnp.stack(
         fe.build_phi(c, mu1, mu2, p1, p2, rb)), c), w)
+    timed("build_phi int-phase-tables", lambda c: keep(jnp.stack(
+        fe.build_phi(c, mu1, mu2, p1, p2, rb, phase_span=KS // 2 + 1)), c), w)
+    a = jnp.stack(fe.build_phi(w, mu1, mu2, p1, p2, rb))
+    b = jnp.stack(fe.build_phi(w, mu1, mu2, p1, p2, rb,
+                               phase_span=KS // 2 + 1))
+    rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+    print(f"  tables-vs-trig rel diff {rel:.2e}")
 
 
 if __name__ == "__main__":

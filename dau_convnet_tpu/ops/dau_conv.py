@@ -205,12 +205,19 @@ def _aggregate(cfg: DAUConvSettings, x_blur, w, mu1, mu2, phi=None):
 
 
 def _build_phi(cfg: DAUConvSettings, spatial, w3m, mu13, mu23):
-    """Bin-major spectral phase table shared by the fourier fwd + dx passes."""
+    """Bin-major spectral phase table shared by the fourier fwd + dx passes.
+
+    Phase factors come from integer cos/sin tables (floor(mu) is bounded by
+    the mu clip, so e^{i w floor(mu)} is a lookup realized as a skinny
+    matmul): measured 0.54 -> 0.34 ms per conv4-shape build vs runtime
+    transcendentals, exact to table roundoff (angles are f64 host-side)."""
     from . import fourier_engine
     h, wd = spatial
     p1, p2, rb = fourier_engine.plan_bins(h, wd, cfg.synth_kernel_size)
     return fourier_engine.build_phi(w3m, mu13, mu23, p1, p2, rb,
-                                    cfg.use_interpolation)
+                                    cfg.use_interpolation,
+                                    phase_span=cfg.synth_kernel_size // 2 + 1,
+                                    precision=cfg.lax_precision)
 
 
 def _factor_filters(cfg: DAUConvSettings, sigma_value):

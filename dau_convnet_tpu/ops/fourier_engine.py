@@ -153,20 +153,67 @@ def _tap_phase(mu, p: int, nbins: int, use_interpolation: bool, out_dtype,
     return re.astype(out_dtype), im.astype(out_dtype)
 
 
+def _tap_phase_tables(mu, p: int, nbins: int, use_interpolation: bool,
+                      out_dtype, span: int, precision):
+    """`_tap_phase` (bin-leading) without runtime transcendentals.
+
+    floor(mu) is an INTEGER in [-span, span] (mu is clipped to
+    +-(ks//2 - border) before the op), so e^{2 pi i k floor(mu) / p} is a
+    lookup into a static (nbins, 2*span+2) cos/sin table. The lookup is
+    realized as one skinny matmul of the stacked [cos; sin] table against
+    the bilinear one-hot weights  A[j, sgf] = (1-a)[j==f+span] + a[j==f+span+1]
+    - compare-FMAs plus an MXU contraction over ~ks+3 entries replace
+    ~4*nbins*S*G*F cos/sin evaluations. floor(mu) outside the span is
+    clamped (out-of-contract inputs only; the trig path would wrap instead).
+
+    Returns (re, im), each (nbins,) + mu.shape, cast to out_dtype.
+    """
+    mu32 = mu.astype(jnp.float32)
+    f = jnp.floor(mu32)
+    a = mu32 - f if use_interpolation else jnp.zeros_like(mu32)
+    f = jnp.clip(f, -span, span)
+    nj = 2 * span + 2                      # exponents -span .. span+1
+    jidx = f + span                        # in [0, 2*span]
+    jio = jnp.arange(nj, dtype=jnp.float32).reshape((nj,) + (1,) * mu.ndim)
+    onehot = (jnp.where(jio == jidx[None], 1.0 - a[None], 0.0)
+              + jnp.where(jio == jidx[None] + 1.0, a[None], 0.0))
+    k = np.arange(nbins)[:, None]
+    e = np.arange(nj)[None, :] - span
+    ang = 2.0 * np.pi * k * e / p          # f64 host-side: exact angles
+    tab = jnp.asarray(np.concatenate([np.cos(ang), np.sin(ang)]), out_dtype)
+    res = jax.lax.dot_general(
+        tab, onehot.reshape(nj, -1).astype(out_dtype),
+        (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=jnp.float32)
+    res = res.reshape((2, nbins) + mu.shape).astype(out_dtype)
+    return res[0], res[1]
+
+
 def build_phi(w, mu1, mu2, p1: int, p2: int, rb: int,
-              use_interpolation: bool = True):
+              use_interpolation: bool = True, phase_span: int | None = None,
+              precision=jax.lax.Precision.DEFAULT):
     """Phi[k,s,f] = sum_g w * py(k1) * px(k2), bin-major, k = k1*rb + k2.
 
     One fused broadcast-product + reduce over g per component (no per-g
     accumulation loop, no trailing transpose - both measured ~4x slower in
     HBM traffic on a v5e; and never a 3-operand einsum over the phase
-    factors, the round-1 tiny-batched-matmul trap)."""
+    factors, the round-1 tiny-batched-matmul trap).
+
+    phase_span: when given (ks//2 + 1 for a ks-tap layer), the tap-phase
+    factors come from integer cos/sin tables via a skinny matmul
+    (_tap_phase_tables) instead of runtime transcendentals."""
     s, g, f = w.shape
     dtype = w.dtype
-    pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
-                            bin_leading=True)  # (P1,S,G,F)
-    pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
-                            bin_leading=True)  # (rb,S,G,F)
+    if phase_span is not None:
+        pyre, pyim = _tap_phase_tables(mu2, p1, p1, use_interpolation, dtype,
+                                       phase_span, precision)  # (P1,S,G,F)
+        pxre, pxim = _tap_phase_tables(mu1, p2, rb, use_interpolation, dtype,
+                                       phase_span, precision)  # (rb,S,G,F)
+    else:
+        pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
+                                bin_leading=True)  # (P1,S,G,F)
+        pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
+                                bin_leading=True)  # (rb,S,G,F)
     # bin-major factor views: (P1, 1, S, G, F) x (1, rb, S, G, F)
     yre = pyre[:, None]
     yim = pyim[:, None]
@@ -304,17 +351,25 @@ def _err_spectrum_stacked(err, p1, p2, rb, precision):
             jnp.concatenate([-eim, ere], axis=0))
 
 
-def _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb, use_interpolation):
+def _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb, use_interpolation,
+                     phase_span=None,
+                     precision=jax.lax.Precision.DEFAULT):
     """grad[m,s,g,f] = sum_k coef_k (Re(phi_unit) tre - Im(phi_unit) tim)
     over cross-spectra (B, M, S, F) - the tap-gather in the spectral
     domain (the tap-weighted sum of inverse-DFT factors IS the unit's
-    phase factor)."""
+    phase factor). phase_span: see `build_phi`."""
     b, m, s, f = tre.shape
     dtype = tre.dtype
-    pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
-                            bin_leading=True)   # (P1,S,G,F)
-    pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
-                            bin_leading=True)   # (rb,S,G,F)
+    if phase_span is not None:
+        pyre, pyim = _tap_phase_tables(mu2, p1, p1, use_interpolation, dtype,
+                                       phase_span, precision)  # (P1,S,G,F)
+        pxre, pxim = _tap_phase_tables(mu1, p2, rb, use_interpolation, dtype,
+                                       phase_span, precision)  # (rb,S,G,F)
+    else:
+        pyre, pyim = _tap_phase(mu2, p1, p1, use_interpolation, dtype,
+                                bin_leading=True)   # (P1,S,G,F)
+        pxre, pxim = _tap_phase(mu1, p2, rb, use_interpolation, dtype,
+                                bin_leading=True)   # (rb,S,G,F)
     w2 = np.full(rb, 2.0)
     w2[0] = 1.0
     if p2 % 2 == 0:
@@ -335,7 +390,8 @@ def _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb, use_interpolation):
 
 def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
                        use_interpolation: bool = True,
-                       precision=jax.lax.Precision.DEFAULT):
+                       precision=jax.lax.Precision.DEFAULT,
+                       phase_tables: bool = True):
     """Per-unit parameter gradients WITHOUT materializing the position table:
     cross-spectra + the tap-gather applied in the spectral domain
     (_spectral_gather). One fused broadcast-reduce over the bins replaces
@@ -344,6 +400,8 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
     Args:
       x_blur_k: (M, N, S, H, W) derivative-blurred inputs.
       err: (N, F, H, W) back-propagated error.
+      phase_tables: use integer cos/sin tables for the unit phase factors
+        (no runtime transcendentals; see `_tap_phase_tables`).
 
     Returns: (M, S, G, F) float32 (same contract as tap_gather over
     grad_tables output).
@@ -351,7 +409,39 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
     tre, tim, (p1, p2, rb) = fourier_cross_spectra(x_blur_k, err, ks,
                                                    precision)
     return _spectral_gather(tre, tim, mu1, mu2, p1, p2, rb,
-                            use_interpolation)
+                            use_interpolation,
+                            phase_span=(ks // 2 + 1) if phase_tables else None,
+                            precision=precision)
+
+
+def fourier_unit_grads_fused(x_blur_k, err, mu1, mu2, ks: int,
+                             use_interpolation: bool = True,
+                             precision=jax.lax.Precision.DEFAULT):
+    """`fourier_unit_grads` with the cross-spectra x iDFT x tap-gather chain
+    fused in one Pallas kernel (kernels/fused_bwd.py): the B*M*S*F complex
+    cross-spectra (~270 MB bf16 at AlexNet conv4) never touch HBM.
+
+    Same contract as `fourier_unit_grads`: (M, S, G, F) float32.
+    """
+    from ..kernels.fused_bwd import fused_unit_grads_kernel_call
+
+    m, n, s, h, wd = x_blur_k.shape
+    p1, p2, rb = plan_bins(h, wd, ks)
+    c = ks // 2
+
+    xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)       # (M,N,S,B)
+    xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
+    xs = jnp.transpose(xs, (3, 0, 1, 2))                     # (B,M,2N,S)
+    ere, eim = _rdft2(err, p1, p2, rb, precision)            # (N,F,B)
+    es = jnp.concatenate([ere, eim], axis=0)                 # (2N,F,B)
+    es = jnp.transpose(es, (2, 0, 1))                        # (B,2N,F)
+
+    pos = np.arange(-c, c + 1)
+    cmat, smat = _idft_mats(p1, p2, rb, pos, pos, jnp.float32)  # (B,P)
+    return fused_unit_grads_kernel_call(
+        xs, es, cmat.T, smat.T, mu1.astype(jnp.float32),
+        mu2.astype(jnp.float32), ks=ks, n_img=n,
+        use_interpolation=use_interpolation)
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,
