@@ -36,10 +36,10 @@ def probe(name):
     t0 = time.time()
     a = jax.jit(lambda: fe.fourier_unit_grads(
         xbm, err, mu1, mu2, KS, True, precision=PREC))()
-    b = jax.jit(lambda: fe.fourier_unit_grads_fused(
+    b = jax.jit(lambda: fe.fourier_unit_grads_fused2(
         xbm, err, mu1, mu2, KS, True, precision=PREC))()
     rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
-    print(f"  rel diff {rel:.2e}  (compile+run {time.time()-t0:.0f}s)",
+    print(f"  v2 rel diff {rel:.2e}  (compile+run {time.time()-t0:.0f}s)",
           flush=True)
     assert rel < 3e-2, rel
 
@@ -47,7 +47,7 @@ def probe(name):
         return like + jnp.sum(y).astype(like.dtype) * 0.0
 
     for label, fn in (("unfused", fe.fourier_unit_grads),
-                      ("fused  ", fe.fourier_unit_grads_fused)):
+                      ("fused2 ", fe.fourier_unit_grads_fused2)):
         t = time_chained(lambda c, fn=fn: keep(
             fn(xbm, c, mu1, mu2, KS, True, precision=PREC), c), err, 30)
         print(f"  {label} {t*1e3:8.3f} ms", flush=True)

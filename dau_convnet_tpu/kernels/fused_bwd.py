@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_unit_grads_kernel_call"]
+__all__ = ["fused_unit_grads_kernel_call", "fused_spectral_grads_call"]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -294,4 +294,179 @@ def fused_unit_grads_kernel_call(xs, es, dct, dst, mu1, mu2, *, ks: int,
     )(xs.astype(xs.dtype), es.astype(xs.dtype),
       dct.astype(xs.dtype), dst.astype(xs.dtype),
       mu1.astype(jnp.float32), mu2.astype(jnp.float32))
+    return out[:, :s, :, :f]
+
+
+# ---------------------------------------------------------------------------
+# v2: cross-spectra + SPECTRAL tap-gather in one kernel (no position table).
+#
+# grad[m,s,g,f] = sum_k Re(phiU[k,s,g,f]) * Tre[k,m,s,f]
+#                       - Im(phiU) * Tim[k,m,s,f]
+# where phiU = py(mu2)[k1] * px(mu1)[k2] is the unit's phase factor with the
+# rfft conjugate-half coefficient folded into px's table. The phase factors
+# are built IN-KERNEL from integer cos/sin tables via the one Mosaic-
+# supported 3D dot form (P, K) x (K, A, B); the bin reduction is a
+# ones-row 3D dot on the MXU - no implicit-dim reductions anywhere (the
+# failure mode that made the v1 position-table gather 1.2 ms at conv4).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_spectral(xs_ref, es_ref, t1_ref, t2_ref, a1_ref, a2_ref, out_ref,
+                     tre_buf, tim_buf, *, n_img: int, m_filt: int,
+                     p1b: int, rbb: int, b_real: int, kb: int, g_units: int):
+    """One (s_blk, f_blk) grid step.
+
+    xs_ref: (kb, M, 2N, s_blk) input spectra (re/im stacked along 2N)
+    es_ref: (kb, 2N, f_blk)    error spectra [Ere; Eim]
+    t1_ref: (2*P1, nj)         [cos; sin] table, axis-1 (rows of the image)
+    t2_ref: (2*rb, nj)         [cos; sin] table, axis-2, rfft coef folded
+    a1/a2:  (nj, G, s_blk, f_blk)  bilinear one-hot exponent weights
+    out:    (M, s_blk, G, f_blk) f32
+    scratch: tre/tim (kb, M*s_blk, f_blk)
+    """
+    s_blk = a1_ref.shape[2]
+    f_blk = a1_ref.shape[3]
+    cdt = xs_ref.dtype
+    cg = 8
+    dnb = (((1,), (1,)), ((0,), (0,)))
+    dn1 = (((1,), (0,)), ((), ()))
+
+    def cross_body(i, carry):
+        k0 = i * cg
+        xsg = xs_ref[pl.ds(k0, cg)]
+        esg = es_ref[pl.ds(k0, cg)]
+        for mi in range(m_filt):
+            lhs = xsg[:, mi]
+            lhs_im = jnp.concatenate(
+                [lhs[:, n_img:], -lhs[:, :n_img]], axis=1)
+            sl = slice(mi * s_blk, (mi + 1) * s_blk)
+            tre_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
+                lhs, esg, dnb,
+                preferred_element_type=jnp.float32).astype(cdt)
+            tim_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
+                lhs_im, esg, dnb,
+                preferred_element_type=jnp.float32).astype(cdt)
+        return carry
+
+    jax.lax.fori_loop(0, kb // cg, cross_body, 0, unroll=False)
+
+    # The gather stage is VMEM-traffic bound on its (B, s_blk, f_blk)
+    # temporaries (phiU, Z: ~20 MB each per (g)/(m,g) in f32 at conv4) -
+    # phase factors and products are stored bf16 (f32 dot accumulation),
+    # halving the traffic; measured 0.98 -> see PERF_NOTES.
+    ones = jnp.ones((1, b_real), cdt)
+    for gi in range(g_units):
+        a1g = a1_ref[:, gi]                       # (nj, s_blk, f_blk)
+        a2g = a2_ref[:, gi]
+        py = jax.lax.dot_general(t1_ref[...], a2g, dn1,
+                                 preferred_element_type=jnp.float32)
+        px = jax.lax.dot_general(t2_ref[...], a1g, dn1,
+                                 preferred_element_type=jnp.float32)
+        pyre, pyim = py[:p1b], py[p1b:]
+        pxre, pxim = px[:rbb], px[rbb:]
+        # unit phase factor over all bins, k = k1*rb + k2 (leading-dim
+        # outer product + merge: implicit-dim reshape, no relayout)
+        phire = (pyre[:, None] * pxre[None] - pyim[:, None] * pxim[None]
+                 ).reshape(p1b * rbb, s_blk, f_blk)[:b_real].astype(cdt)
+        phiim = (pyre[:, None] * pxim[None] + pyim[:, None] * pxre[None]
+                 ).reshape(p1b * rbb, s_blk, f_blk)[:b_real].astype(cdt)
+        for mi in range(m_filt):
+            sl = slice(mi * s_blk, (mi + 1) * s_blk)
+            z = (phire * tre_buf[:b_real, sl]
+                 - phiim * tim_buf[:b_real, sl]).astype(cdt)
+            red = jax.lax.dot_general(ones, z, dn1,
+                                      preferred_element_type=jnp.float32)
+            out_ref[mi, :, gi, :] = red[0]
+
+
+def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
+                              b_real: int, p1b: int, rbb: int,
+                              interpret: bool | None = None):
+    """Invoke the v2 fused backward kernel (spectral in-kernel gather).
+
+    Args:
+      xs: (B, M, 2N, S) blurred-input spectra (B padded to a multiple of 8).
+      es: (B, 2N, F) error spectra.
+      t1: (2*P1, nj) axis-1 [cos; sin] phase table.
+      t2: (2*rb, nj) axis-2 table with the rfft conjugate-half coefficient
+        and 1/(P1*P2) folded in.
+      a1, a2: (nj, G, S, F) bilinear one-hot exponent weights (from mu1/mu2).
+      b_real: number of real (un-padded) bins = P1*rb.
+
+    Returns: (M, S, G, F) float32 unit gradients.
+    """
+    b, m, n2, s = xs.shape
+    f = es.shape[2]
+    nj, g = a1.shape[0], a1.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    itemsize = jnp.dtype(xs.dtype).itemsize
+
+    f_blk = min(_ceil_to(f, 128), 128)
+    kb = _ceil_to(b, 8)
+    s_blk = None
+    for cand in (128, 64, 32, 16, 8):
+        if cand > _ceil_to(s, 8):
+            continue
+        xs_b = kb * m * n2 * cand * itemsize * 2
+        es_b = kb * n2 * f_blk * itemsize * 2
+        t_b = 2 * kb * m * cand * f_blk * itemsize
+        phi_b = 2 * p1b * rbb * cand * f_blk * 4
+        z_b = b_real * cand * f_blk * 4 * 2
+        py_b = 2 * (p1b + rbb) * cand * f_blk * 4
+        a_b = 2 * nj * g * cand * f_blk * itemsize * 2
+        if xs_b + es_b + t_b + phi_b + z_b + py_b + a_b <= 100 * 1024 * 1024:
+            s_blk = cand
+            break
+    if s_blk is None:
+        raise ValueError(
+            f"fused_spectral_grads: no VMEM plan for B={b} M={m} S={s} "
+            f"F={f}; use the unfused fourier path")
+
+    sp = _ceil_to(s, s_blk)
+    fp = _ceil_to(f, f_blk)
+    if sp != s or kb != b:
+        xs = jnp.pad(xs, ((0, kb - b), (0, 0), (0, 0), (0, sp - s)))
+    if fp != f or kb != b:
+        es = jnp.pad(es, ((0, kb - b), (0, 0), (0, fp - f)))
+    if sp != s or fp != f:
+        a1 = jnp.pad(a1, ((0, 0), (0, 0), (0, sp - s), (0, fp - f)))
+        a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, sp - s), (0, fp - f)))
+
+    grid = (sp // s_blk, fp // f_blk)
+    kern = functools.partial(
+        _kernel_spectral, n_img=n_img, m_filt=m, p1b=p1b, rbb=rbb,
+        b_real=b_real, kb=kb, g_units=g)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kb, m, n2, s_blk), lambda si, fj: (0, 0, 0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, n2, f_blk), lambda si, fj: (0, 0, fj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * p1b, nj), lambda si, fj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * rbb, nj), lambda si, fj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nj, g, s_blk, f_blk), lambda si, fj: (0, 0, si, fj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nj, g, s_blk, f_blk), lambda si, fj: (0, 0, si, fj),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, s_blk, g, f_blk),
+                               lambda si, fj: (0, si, 0, fj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, sp, g, fp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
+            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xs, es.astype(xs.dtype), t1.astype(xs.dtype), t2.astype(xs.dtype),
+      a1.astype(xs.dtype), a2.astype(xs.dtype))
     return out[:, :s, :, :f]

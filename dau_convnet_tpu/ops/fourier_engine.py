@@ -153,6 +153,32 @@ def _tap_phase(mu, p: int, nbins: int, use_interpolation: bool, out_dtype,
     return re.astype(out_dtype), im.astype(out_dtype)
 
 
+def _phase_onehot(mu, span: int, use_interpolation: bool):
+    """Bilinear one-hot weights over integer exponents:
+    A[j, ...] = (1-a)[j == floor(mu)+span] + a[j == floor(mu)+span+1],
+    shape (2*span+2,) + mu.shape, f32. floor(mu) clamped to [-span, span]."""
+    mu32 = mu.astype(jnp.float32)
+    f = jnp.floor(mu32)
+    a = mu32 - f if use_interpolation else jnp.zeros_like(mu32)
+    f = jnp.clip(f, -span, span)
+    nj = 2 * span + 2
+    jidx = f + span
+    jio = jnp.arange(nj, dtype=jnp.float32).reshape((nj,) + (1,) * mu.ndim)
+    return (jnp.where(jio == jidx[None], 1.0 - a[None], 0.0)
+            + jnp.where(jio == jidx[None] + 1.0, a[None], 0.0))
+
+
+def _phase_table_host(p: int, nbins: int, span: int):
+    """Static stacked [cos; sin] table (2*nbins, 2*span+2) for integer
+    exponents e in [-span, span+1]: row k of cos-half is cos(2 pi k e / p).
+    Computed f64 host-side."""
+    nj = 2 * span + 2
+    k = np.arange(nbins)[:, None]
+    e = np.arange(nj)[None, :] - span
+    ang = 2.0 * np.pi * k * e / p
+    return np.concatenate([np.cos(ang), np.sin(ang)])
+
+
 def _tap_phase_tables(mu, p: int, nbins: int, use_interpolation: bool,
                       out_dtype, span: int, precision):
     """`_tap_phase` (bin-leading) without runtime transcendentals.
@@ -168,19 +194,9 @@ def _tap_phase_tables(mu, p: int, nbins: int, use_interpolation: bool,
 
     Returns (re, im), each (nbins,) + mu.shape, cast to out_dtype.
     """
-    mu32 = mu.astype(jnp.float32)
-    f = jnp.floor(mu32)
-    a = mu32 - f if use_interpolation else jnp.zeros_like(mu32)
-    f = jnp.clip(f, -span, span)
     nj = 2 * span + 2                      # exponents -span .. span+1
-    jidx = f + span                        # in [0, 2*span]
-    jio = jnp.arange(nj, dtype=jnp.float32).reshape((nj,) + (1,) * mu.ndim)
-    onehot = (jnp.where(jio == jidx[None], 1.0 - a[None], 0.0)
-              + jnp.where(jio == jidx[None] + 1.0, a[None], 0.0))
-    k = np.arange(nbins)[:, None]
-    e = np.arange(nj)[None, :] - span
-    ang = 2.0 * np.pi * k * e / p          # f64 host-side: exact angles
-    tab = jnp.asarray(np.concatenate([np.cos(ang), np.sin(ang)]), out_dtype)
+    onehot = _phase_onehot(mu, span, use_interpolation)
+    tab = jnp.asarray(_phase_table_host(p, nbins, span), out_dtype)
     res = jax.lax.dot_general(
         tab, onehot.reshape(nj, -1).astype(out_dtype),
         (((1,), (0,)), ((), ())), precision=precision,
@@ -248,22 +264,31 @@ def fourier_apply_phi(x_blur, phire, phiim, h, w_sp, p1, p2, rb, precision,
                       contract_f: bool = False, conj_phi: bool = False):
     """Spectral core: transform x, contract against Phi per bin, transform
     back. With contract_f=True the contraction runs over Phi's F axis
-    (producing the S-channel output of the input-gradient path)."""
+    (producing the S-channel output of the input-gradient path).
+
+    The complex product uses TWO per-bin matmuls with X's re/im stacked
+    along the row axis (2N = 64 rows) instead of four N = 32-row matmuls:
+    [Xre; Xim] @ Phire and [Xre; Xim] @ Phiim give all four real products
+    as row halves - double the MXU row utilization at these batch sizes."""
     n = x_blur.shape[0]
     dtype = x_blur.dtype
     xre, xim = _rdft2(x_blur, p1, p2, rb, precision)       # (N,C,B)
-    xre_t = jnp.transpose(xre, (2, 0, 1))                  # (B,N,C)
-    xim_t = jnp.transpose(xim, (2, 0, 1))
-    if contract_f:
-        # out[k,n,s] = sum_f X[k,n,f] * conj(Phi)[k,s,f]
-        yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
-                               conj_b=not conj_phi, contract=(2, 2),
-                               out_dtype=jnp.float32)
-    else:
-        # out[k,n,f] = sum_s X[k,n,s] * Phi[k,s,f]
-        yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
-                               conj_b=conj_phi, contract=(2, 1),
-                               out_dtype=jnp.float32)
+    xs = jnp.concatenate([xre, xim], axis=0)               # (2N,C,B)
+    xs_t = jnp.transpose(xs, (2, 0, 1))                    # (B,2N,C)
+    ci = 2 if contract_f else 1
+    flip = (not conj_phi) if contract_f else conj_phi
+    dn = (((2,), (ci,)), ((0,), (0,)))
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, dn, precision=precision,
+                                   preferred_element_type=jnp.float32)
+
+    mm1 = mm(xs_t, phire)                  # [Xre@Pre; Xim@Pre]
+    mm2 = mm(xs_t, phiim)                  # [Xre@Pim; Xim@Pim]
+    if flip:
+        mm2 = -mm2
+    yre = mm1[:, :n] - mm2[:, n:]
+    yim = mm2[:, :n] + mm1[:, n:]
     cout = yre.shape[-1]
     cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(w_sp),
                             jnp.float32)
@@ -442,6 +467,44 @@ def fourier_unit_grads_fused(x_blur_k, err, mu1, mu2, ks: int,
         xs, es, cmat.T, smat.T, mu1.astype(jnp.float32),
         mu2.astype(jnp.float32), ks=ks, n_img=n,
         use_interpolation=use_interpolation)
+
+
+def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
+                              use_interpolation: bool = True,
+                              precision=jax.lax.Precision.DEFAULT):
+    """`fourier_unit_grads` with the cross-spectra AND the spectral
+    tap-gather fused in one Pallas kernel (kernels/fused_bwd.py v2): the
+    cross-spectra never touch HBM, the unit phase factors are built
+    in-kernel from integer tables, and the bin reduction is a ones-row
+    MXU dot. Same contract: (M, S, G, F) float32.
+    """
+    from ..kernels.fused_bwd import fused_spectral_grads_call
+
+    m, n, s, h, wd = x_blur_k.shape
+    p1, p2, rb = plan_bins(h, wd, ks)
+    span = ks // 2 + 1
+
+    xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)       # (M,N,S,B)
+    xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
+    xs = jnp.transpose(xs, (3, 0, 1, 2))                     # (B,M,2N,S)
+    ere, eim = _rdft2(err, p1, p2, rb, precision)            # (N,F,B)
+    es = jnp.concatenate([ere, eim], axis=0)                 # (2N,F,B)
+    es = jnp.transpose(es, (2, 0, 1))                        # (B,2N,F)
+
+    t1 = jnp.asarray(_phase_table_host(p1, p1, span), jnp.float32)
+    w2 = np.full(rb, 2.0)
+    w2[0] = 1.0
+    if p2 % 2 == 0:
+        w2[-1] = 1.0
+    coef = np.concatenate([w2, w2])[:, None] / (p1 * p2)
+    t2 = jnp.asarray(_phase_table_host(p2, rb, span) * coef, jnp.float32)
+    a1 = jnp.transpose(_phase_onehot(mu1, span, use_interpolation),
+                       (0, 2, 1, 3))                         # (nj,G,S,F)
+    a2 = jnp.transpose(_phase_onehot(mu2, span, use_interpolation),
+                       (0, 2, 1, 3))
+    return fused_spectral_grads_call(
+        xs.astype(x_blur_k.dtype), es.astype(x_blur_k.dtype), t1, t2, a1, a2,
+        n_img=n, b_real=p1 * rb, p1b=p1, rbb=rb)
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,

@@ -63,3 +63,39 @@ def test_fourier_bf16_error_class_matches_spatial(seed):
         assert e_fo < max(4.0 * e_sp, 1e-3), (
             f"{name}: fourier bf16 rel err {e_fo:.2e} vs spatial {e_sp:.2e}")
         assert e_fo < 0.1, f"{name}: fourier bf16 rel err {e_fo:.2e} too large"
+
+
+def test_phase_tables_match_trig_f32():
+    """_tap_phase_tables (integer cos/sin lookup via skinny matmul) must
+    reproduce _tap_phase (runtime transcendentals) to f32 roundoff for
+    in-contract mu (|mu| <= span - 1)."""
+    from dau_convnet_tpu.ops import fourier_engine as fe
+
+    rng = np.random.default_rng(3)
+    mu = jnp.asarray(rng.uniform(-3.99, 3.99, (8, 2, 16)), jnp.float32)
+    for p, nbins in ((17, 17), (17, 9)):
+        for interp in (True, False):
+            re_t, im_t = fe._tap_phase(mu, p, nbins, interp, jnp.float32,
+                                       bin_leading=True)
+            re_l, im_l = fe._tap_phase_tables(
+                mu, p, nbins, interp, jnp.float32, span=5,
+                precision=jax.lax.Precision.HIGHEST)
+            np.testing.assert_allclose(np.asarray(re_l), np.asarray(re_t),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(im_l), np.asarray(im_t),
+                                       atol=2e-5)
+
+
+def test_build_phi_tables_match_trig_f32():
+    from dau_convnet_tpu.ops import fourier_engine as fe
+
+    rng = np.random.default_rng(4)
+    S, G, F = 6, 2, 8
+    w = jnp.asarray(rng.standard_normal((S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3.9, 3.9, (S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3.9, 3.9, (S, G, F)), jnp.float32)
+    p1, p2, rb = fe.plan_bins(13, 13, 9)
+    a = jnp.stack(fe.build_phi(w, mu1, mu2, p1, p2, rb))
+    b = jnp.stack(fe.build_phi(w, mu1, mu2, p1, p2, rb, phase_span=5,
+                               precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-6)
