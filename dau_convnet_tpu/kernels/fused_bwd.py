@@ -1,31 +1,40 @@
-"""Fused Pallas backward: cross-spectra x partial-iDFT x tap-gather.
+"""Fused Pallas backward: cross-spectra + spectral tap-gather in one kernel.
 
-The fourier engine's parameter-gradient path is three dependent stages
+The fourier engine's parameter-gradient path is mathematically
 (fourier_engine.py):
 
-    T[k,m,s,f]   = sum_n X[k,m,n,s] * conj(E)[k,n,f]      (per-bin matmuls)
-    tab[p,m,s,f] = sum_k D[p,k] * T[k,m,s,f]              (partial iDFT)
-    grad[m,s,g,f]= sum_{4 taps} iw * tab[tap(mu), m,s,f]  (bilinear gather)
+    T[k,m,s,f]    = sum_n X[k,m,n,s] * conj(E)[k,n,f]     (per-bin matmuls)
+    grad[m,s,g,f] = sum_k Re(phiU[k,s,g,f] * T[k,m,s,f])  (spectral gather)
 
 Run separately in XLA, the chain is HBM-bound on the cross-spectra
-intermediate: T is B*M*S*F complex (~270 MB bf16 at AlexNet conv4) and is
-written + re-read once per stage (measured 0.40 ms cross + 0.87 ms best
-iDFT + gather). This kernel keeps T entirely in VMEM per (S, F) block -
-the only HBM traffic is the input spectra (~30 MB) and the (M, S, G, F)
-gradient output.
+intermediate: T is B*M*S*F complex (~270 MB bf16 at AlexNet conv4),
+written once and re-read once. This kernel keeps T entirely in VMEM per
+(S, F) block - the only HBM traffic is the input spectra (~30 MB) and the
+(M, S, G, F) gradient output. Measured at AlexNet shapes (bf16, v5e):
+conv3 0.71 vs 0.79 ms unfused, conv4 0.84 vs 1.37, conv5 0.76 vs 0.74,
+conv2 (B=496 bins) 0.94 vs 0.58 - the op gates on bin count accordingly.
 
 This is the TPU analogue of the reference's fused backward mega-kernel
 (`DAUConv_bwd_multi_pipeline_kernel`, dau_conv_backward_core.hpp:1019-2119,
 which also computes per-position correlations and per-unit reductions in
 one on-chip pass) - but organized around the MXU: the per-bin cross
-products and the position iDFT are matmuls; only the final 4-tap gather is
-vector work.
+products are batched matmuls, the unit phase factors come from integer
+cos/sin tables via skinny 3D dots, and the bin reduction is a ones-row
+MXU dot.
 
-Empirical Mosaic facts this design rests on (benchmarks/mosaic_probe.py,
-v5e): 3D dot_general (P,K)x(K,A,B) compiles and is correct; *batched*
-dot_general (B,M,K)x(B,K,N) does NOT compile in practical time (>580 s) -
-hence the fori_loop of 2D dots for the per-bin stage; VMEM allows ~90 MB
-of scratch; grid-step overhead is ~0.2 us.
+Empirical Mosaic facts this design rests on (benchmarks/mosaic_probe.py +
+measured failures recorded in PERF_NOTES.md, v5e):
+- 3D dot_general (P,K)x(K,A,B) compiles and is correct; *batched*
+  dot_general beyond ~16 batch does NOT compile in practical time - hence
+  the fori_loop of rb-batch dots for the per-bin stage.
+- NO reduction over the implicit (leading) dim of a >2D vector exists; a
+  p-indexed fori_loop of small slabs is latency-bound (1.6 ms); the
+  position-table variant of this kernel (tree-reduce over 81 positions)
+  reached only 1.9 ms - reducing via a ones-row dot is the fast path.
+- f32 gather temporaries beat bf16 (bf16 elementwise pays pack/unpack:
+  0.98 -> 2.36 ms regression).
+- Dynamic sublane slice starts must be provably 8-aligned (k1 chunks are
+  multiples of 8; single-chunk loads the whole table).
 """
 
 from __future__ import annotations
@@ -37,264 +46,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_unit_grads_kernel_call", "fused_spectral_grads_call"]
+__all__ = ["fused_spectral_grads_call"]
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _plan_blocks(b: int, m: int, s: int, f: int, n2: int, g: int,
-                 itemsize: int, budget: int = 90 * 1024 * 1024):
-    """Pick (s_blk, f_blk, kb, n_chunks) so the kernel's VMEM footprint
-    (xs + es blocks double-buffered, T chunk, ptab accumulator) fits."""
-    p = 1024  # placeholder, replaced by caller's ks*ks in the cost below
-    f_blk = min(_ceil_to(f, 128), 128)
-    for s_blk in (128, 96, 64, 48, 32, 16, 8):
-        if s_blk > _ceil_to(s, 8):
-            continue
-        for n_chunks in (1, 2, 3, 4, 6, 8, 12, 16):
-            kb = _ceil_to(-(-b // n_chunks), 8)
-            xs_blk = kb * m * n2 * s_blk * itemsize * 2        # double-buffered
-            es_blk = kb * n2 * f_blk * itemsize * 2
-            t_chunk = kb * m * s_blk * f_blk * itemsize * 2    # re + im
-            ptab = p // 1024 * 0  # counted below with real p by caller
-            total = xs_blk + es_blk + t_chunk
-            # ptab + gather temps: bounded by 81 * m * s_blk * f_blk * 4;
-            # use the worst case ks=9 -> 81 positions
-            total += 81 * m * s_blk * f_blk * 4
-            total += 2 * m * s_blk * f_blk * 4  # dot temps headroom
-            if kb < 64 and n_chunks > 1:
-                continue  # keep the iDFT contraction K >= 64
-            if total <= budget:
-                return s_blk, f_blk, kb, n_chunks
-    raise ValueError(
-        f"fused_unit_grads: no VMEM plan for B={b} M={m} S={s} F={f} "
-        f"(2N={n2}); use the unfused fourier path")
-
-
-def _kernel(xs_ref, es_ref, dct_ref, dst_ref, mu1_ref, mu2_ref, out_ref,
-            tre_buf, tim_buf, ptab_buf, *, n_img: int, m_filt: int,
-            ks: int, g_units: int, use_interpolation: bool, kb: int,
-            stages: str = "all"):
-    """One (s_blk, f_blk, k-chunk) grid step.
-
-    xs_ref:  (kb, M, 2N, s_blk)  input spectra, re/im stacked along 2N
-    es_ref:  (kb, 2N, f_blk)     error spectra, [Ere; Eim] along 2N
-    dct/dst: (P, kb)             partial-iDFT cos/sin matrices (chunk)
-    mu1/mu2: (s_blk, G, f_blk)   f32 displacements
-    out:     (M, s_blk, G, f_blk) f32 unit gradients
-    scratch: tre/tim (kb, M, s_blk, f_blk); ptab (P, M*s_blk, f_blk) f32
-    """
-    kc = pl.program_id(2)
-    n_kc = pl.num_programs(2)
-    p_pos = ks * ks
-    s_blk = mu1_ref.shape[0]
-    f_blk = mu1_ref.shape[2]
-
-    # ---- stage 1: per-bin cross products into VMEM scratch.
-    # Tre[k] = [Xre|Xim] @ [Ere;Eim],  Tim[k] = [Xim|-Xre] @ [Ere;Eim]
-    # (contraction over the stacked 2N axis = sublane dim of both operands).
-    # Bins are processed in small-batch groups: one bin per dot is latency-
-    # bound (~1000 sequential tiny dots per cell measured 2.6 ms at conv4),
-    # while a full-B batched dot does not compile in practical time
-    # (mosaic_probe) - groups of CG bins per batched dot are the middle.
-    cdt = xs_ref.dtype
-    cg = 8
-    dnb = (((1,), (1,)), ((0,), (0,)))   # batch group dim, contract 2N
-
-    def cross_body(i, carry):
-        k0 = i * cg
-        xsg = xs_ref[pl.ds(k0, cg)]          # (cg, M, 2N, s_blk)
-        esg = es_ref[pl.ds(k0, cg)]          # (cg, 2N, f_blk)
-        for mi in range(m_filt):
-            lhs = xsg[:, mi]                 # (cg, 2N, s_blk)
-            lhs_im = jnp.concatenate(
-                [lhs[:, n_img:], -lhs[:, :n_img]], axis=1)
-            # tre/tim are (kb, M*s_blk, f_blk): the M groups live as static
-            # sublane slices so no implicit<->sublane relayout is ever needed
-            # downstream (the idft dot and the gather slice them statically).
-            sl = slice(mi * s_blk, (mi + 1) * s_blk)
-            tre_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
-                lhs, esg, dnb,
-                preferred_element_type=jnp.float32).astype(cdt)
-            tim_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
-                lhs_im, esg, dnb,
-                preferred_element_type=jnp.float32).astype(cdt)
-        return carry
-
-    jax.lax.fori_loop(0, kb // cg, cross_body, 0, unroll=False)
-
-    if stages == "cross":  # debug attribution mode
-        @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-        def _():
-            s_blk_ = mu1_ref.shape[0]
-            f_blk_ = mu1_ref.shape[2]
-            red = jnp.sum(tre_buf[0:1, :s_blk_], axis=0).astype(jnp.float32)
-            out_ref[...] = jnp.broadcast_to(
-                red[None, :, None, :],
-                (m_filt, s_blk_, mu1_ref.shape[1], f_blk_))
-        return
-
-    # ---- stage 2: partial iDFT over this bin chunk, accumulated across
-    # chunks:  ptab[p, (m s), f] += dct @ Tre - dst @ Tim.
-    dn1 = (((1,), (0,)), ((), ()))
-    tre = tre_buf[...]                       # (kb, M*s_blk, f_blk)
-    tim = tim_buf[...]
-    contrib = (jax.lax.dot_general(dct_ref[...], tre, dn1,
-                                   preferred_element_type=jnp.float32)
-               - jax.lax.dot_general(dst_ref[...], tim, dn1,
-                                     preferred_element_type=jnp.float32))
-
-    @pl.when(kc == 0)
-    def _():
-        ptab_buf[...] = contrib
-
-    @pl.when(kc > 0)
-    def _():
-        ptab_buf[...] = ptab_buf[...] + contrib
-
-    if stages == "idft":  # debug attribution mode
-        @pl.when(kc == n_kc - 1)
-        def _():
-            red = jnp.sum(ptab_buf[0:1, :s_blk], axis=0)
-            out_ref[...] = jnp.broadcast_to(
-                red[None, :, None, :], (m_filt, s_blk, g_units, f_blk))
-        return
-
-    # ---- stage 3 (last chunk): bilinear 4-tap gather per unit.
-    # Fully vectorized: build the (P, s_blk, g, f_blk) tap-weight mask with
-    # broadcast compares against a position iota, then multiply-reduce
-    # against the position table over P (static unroll over M and G only).
-    # A p-indexed fori_loop of small slabs measured 1.6 ms at AlexNet conv4
-    # (latency-bound, ~81 serialized VPU steps); this form is ~bandwidth.
-    @pl.when(kc == n_kc - 1)
-    def _():
-        c = ks // 2
-        mu1 = mu1_ref[...]
-        mu2 = mu2_ref[...]
-        f1 = jnp.floor(mu1)
-        f2 = jnp.floor(mu2)
-        if use_interpolation:
-            a1 = mu1 - f1
-            a2 = mu2 - f2
-            taps = ((0, 0), (0, 1), (1, 0), (1, 1))
-        else:
-            a1 = jnp.zeros_like(mu1)
-            a2 = jnp.zeros_like(mu2)
-            taps = ((0, 0),)
-        base = ((c + f2) * ks + (c + f1)).astype(jnp.int32)  # (s_blk, G, f_blk)
-        piota = jax.lax.broadcasted_iota(
-            jnp.int32, (p_pos, s_blk, f_blk), 0)
-        def lead_sum(z):
-            # Tree-reduce the leading (implicit) axis with explicit
-            # slice+add steps: Mosaic has no implicit-dim reductions, but
-            # elementwise ops over implicit dims vectorize fully.
-            n = z.shape[0]
-            while n > 1:
-                half = n // 2
-                odd = z[2 * half:n]
-                z = z[:half] + z[half:2 * half]
-                if odd.shape[0]:
-                    z = jnp.concatenate([z[:1] + odd, z[1:]], axis=0)
-                n = half
-            return z[0]
-
-        for gi in range(g_units):
-            # one mask per g, shared by all M filters
-            maskg = jnp.zeros((p_pos, s_blk, f_blk), jnp.float32)
-            for dy, dx in taps:
-                wx = (a1[:, gi] if dx else 1.0 - a1[:, gi])
-                wy = (a2[:, gi] if dy else 1.0 - a2[:, gi])
-                tgt = base[:, gi] + (dy * ks + dx)         # (s_blk, f_blk)
-                maskg = maskg + jnp.where(piota == tgt[None],
-                                          (wx * wy)[None], 0.0)
-            for mi in range(m_filt):
-                tab_m = ptab_buf[:, mi * s_blk:(mi + 1) * s_blk, :]
-                out_ref[mi, :, gi, :] = lead_sum(maskg * tab_m)
-
-
-def fused_unit_grads_kernel_call(xs, es, dct, dst, mu1, mu2, *, ks: int,
-                                 n_img: int, use_interpolation: bool = True,
-                                 interpret: bool | None = None):
-    """Invoke the fused backward kernel.
-
-    Args:
-      xs: (B, M, 2N, S) blurred-input spectra, re/im stacked along 2N.
-      es: (B, 2N, F) error spectra, [Ere; Eim] stacked along 2N.
-      dct, dst: (P, B) partial-iDFT cos/sin matrices (P = ks*ks positions,
-        rfft conjugate-half weights and 1/(P1*P2) folded in).
-      mu1, mu2: (S, G, F) float32 unit displacements.
-      ks: synthesized-kernel size (tap span).
-      n_img: N (the batch size; 2N is the stacked axis).
-
-    Returns: (M, S, G, F) float32 unit gradients (w-gather per filter m;
-      the caller applies the w-multiplication / lr factors).
-    """
-    b, m, n2, s = xs.shape
-    f = es.shape[2]
-    g = mu1.shape[1]
-    p_pos = ks * ks
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    itemsize = jnp.dtype(xs.dtype).itemsize
-
-    s_blk, f_blk, kb, n_chunks = _plan_blocks(b, m, s, f, n2, g, itemsize)
-    sp = _ceil_to(s, s_blk)
-    fp = _ceil_to(f, f_blk)
-    bp = kb * n_chunks
-    if sp != s or bp != b:
-        xs = jnp.pad(xs, ((0, bp - b), (0, 0), (0, 0), (0, sp - s)))
-    if fp != f or bp != b:
-        es = jnp.pad(es, ((0, bp - b), (0, 0), (0, fp - f)))
-    if bp != b:
-        dct = jnp.pad(dct, ((0, 0), (0, bp - b)))
-        dst = jnp.pad(dst, ((0, 0), (0, bp - b)))
-    if sp != s or fp != f:
-        mu1 = jnp.pad(mu1, ((0, sp - s), (0, 0), (0, fp - f)))
-        mu2 = jnp.pad(mu2, ((0, sp - s), (0, 0), (0, fp - f)))
-
-    grid = (sp // s_blk, fp // f_blk, n_chunks)
-    import os
-    stages = os.environ.get("DAU_FUSED_STAGES", "all")
-    kern = functools.partial(
-        _kernel, n_img=n_img, m_filt=m, ks=ks, g_units=g,
-        use_interpolation=use_interpolation, kb=kb, stages=stages)
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((kb, m, n2, s_blk), lambda si, fj, kc: (kc, 0, 0, si),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb, n2, f_blk), lambda si, fj, kc: (kc, 0, fj),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pos, kb), lambda si, fj, kc: (0, kc),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_pos, kb), lambda si, fj, kc: (0, kc),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_blk, g, f_blk), lambda si, fj, kc: (si, 0, fj),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_blk, g, f_blk), lambda si, fj, kc: (si, 0, fj),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m, s_blk, g, f_blk),
-                               lambda si, fj, kc: (0, si, 0, fj),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, sp, g, fp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
-            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
-            pltpu.VMEM((p_pos, m * s_blk, f_blk), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=124 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(xs.astype(xs.dtype), es.astype(xs.dtype),
-      dct.astype(xs.dtype), dst.astype(xs.dtype),
-      mu1.astype(jnp.float32), mu2.astype(jnp.float32))
-    return out[:, :s, :, :f]
 
 
 # ---------------------------------------------------------------------------
@@ -308,165 +64,221 @@ def fused_unit_grads_kernel_call(xs, es, dct, dst, mu1, mu2, *, ks: int,
 # supported 3D dot form (P, K) x (K, A, B); the bin reduction is a
 # ones-row 3D dot on the MXU - no implicit-dim reductions anywhere (the
 # failure mode that made the v1 position-table gather 1.2 ms at conv4).
+#
+# Measured notes (v5e, AlexNet conv4): f32 gather temporaries - bf16
+# phiU/Z REGRESSED 0.98 -> 2.36 ms (VPU bf16 elementwise pays pack/unpack,
+# and the temps are VMEM-resident anyway). Bins are chunked by k1 rows
+# (kb_c = k1_blk * rb) so large-B shapes (conv2: B=496) fit VMEM; the
+# cross-stage dot batch is exactly rb per group, so kb needs no padding.
 # ---------------------------------------------------------------------------
 
 
-def _kernel_spectral(xs_ref, es_ref, t1_ref, t2_ref, a1_ref, a2_ref, out_ref,
-                     tre_buf, tim_buf, *, n_img: int, m_filt: int,
-                     p1b: int, rbb: int, b_real: int, kb: int, g_units: int):
-    """One (s_blk, f_blk) grid step.
+def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
+                     a2_ref, out_ref, tre_buf, tim_buf, *, n_img: int,
+                     m_filt: int, rbb: int, k1_blk: int, g_units: int):
+    """One (s_blk, f_blk, k1-chunk) grid step.
 
-    xs_ref: (kb, M, 2N, s_blk) input spectra (re/im stacked along 2N)
-    es_ref: (kb, 2N, f_blk)    error spectra [Ere; Eim]
-    t1_ref: (2*P1, nj)         [cos; sin] table, axis-1 (rows of the image)
-    t2_ref: (2*rb, nj)         [cos; sin] table, axis-2, rfft coef folded
-    a1/a2:  (nj, G, s_blk, f_blk)  bilinear one-hot exponent weights
-    out:    (M, s_blk, G, f_blk) f32
-    scratch: tre/tim (kb, M*s_blk, f_blk)
+    xs_ref:  (kb_c, M, 2N, s_blk) input spectra (re/im stacked along 2N)
+    es_ref:  (kb_c, 2N, f_blk)    error spectra [Ere; Eim]
+    t1c/t1s: (p1_pad, nj)         axis-1 cos / sin tables (full; sliced by
+                                  chunk in-kernel - a (k1_blk, nj) block
+                                  would violate the (8,128) block rule)
+    t2_ref:  (2*rb, nj)           axis-2 [cos; sin] table, rfft coef folded
+    a1/a2:   (nj, G, s_blk, f_blk) bilinear one-hot exponent weights
+    out:     (M, s_blk, G, f_blk) f32, accumulated across k1 chunks
+    scratch: tre/tim (kb_c, M*s_blk, f_blk)
     """
+    kc = pl.program_id(2)
     s_blk = a1_ref.shape[2]
     f_blk = a1_ref.shape[3]
+    kb_c = k1_blk * rbb
     cdt = xs_ref.dtype
-    cg = 8
     dnb = (((1,), (1,)), ((0,), (0,)))
     dn1 = (((1,), (0,)), ((), ()))
 
     def cross_body(i, carry):
-        k0 = i * cg
-        xsg = xs_ref[pl.ds(k0, cg)]
-        esg = es_ref[pl.ds(k0, cg)]
+        k0 = i * rbb
+        xsg = xs_ref[pl.ds(k0, rbb)]
+        esg = es_ref[pl.ds(k0, rbb)]
         for mi in range(m_filt):
             lhs = xsg[:, mi]
             lhs_im = jnp.concatenate(
                 [lhs[:, n_img:], -lhs[:, :n_img]], axis=1)
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
-            tre_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
+            tre_buf[pl.ds(k0, rbb), sl] = jax.lax.dot_general(
                 lhs, esg, dnb,
                 preferred_element_type=jnp.float32).astype(cdt)
-            tim_buf[pl.ds(k0, cg), sl] = jax.lax.dot_general(
+            tim_buf[pl.ds(k0, rbb), sl] = jax.lax.dot_general(
                 lhs_im, esg, dnb,
                 preferred_element_type=jnp.float32).astype(cdt)
         return carry
 
-    jax.lax.fori_loop(0, kb // cg, cross_body, 0, unroll=False)
+    jax.lax.fori_loop(0, k1_blk, cross_body, 0, unroll=False)
 
-    # The gather stage is VMEM-traffic bound on its (B, s_blk, f_blk)
-    # temporaries (phiU, Z: ~20 MB each per (g)/(m,g) in f32 at conv4) -
-    # phase factors and products are stored bf16 (f32 dot accumulation),
-    # halving the traffic; measured 0.98 -> see PERF_NOTES.
-    ones = jnp.ones((1, b_real), cdt)
+    ones = jnp.ones((1, kb_c), jnp.float32)
+    if t1c_ref.shape[0] == k1_blk:
+        # single chunk: whole-table load (a dynamic 0 start is not
+        # provably 8-aligned to Mosaic)
+        t1c = t1c_ref[...]
+        t1s = t1s_ref[...]
+    else:
+        # multi-chunk: k1_blk is a multiple of 8 by plan, so the slice
+        # start kc * k1_blk is provably sublane-aligned
+        t1c = t1c_ref[pl.ds(kc * k1_blk, k1_blk)]
+        t1s = t1s_ref[pl.ds(kc * k1_blk, k1_blk)]
     for gi in range(g_units):
         a1g = a1_ref[:, gi]                       # (nj, s_blk, f_blk)
         a2g = a2_ref[:, gi]
-        py = jax.lax.dot_general(t1_ref[...], a2g, dn1,
-                                 preferred_element_type=jnp.float32)
+        pyre = jax.lax.dot_general(t1c, a2g, dn1,
+                                   preferred_element_type=jnp.float32)
+        pyim = jax.lax.dot_general(t1s, a2g, dn1,
+                                   preferred_element_type=jnp.float32)
         px = jax.lax.dot_general(t2_ref[...], a1g, dn1,
                                  preferred_element_type=jnp.float32)
-        pyre, pyim = py[:p1b], py[p1b:]
         pxre, pxim = px[:rbb], px[rbb:]
-        # unit phase factor over all bins, k = k1*rb + k2 (leading-dim
-        # outer product + merge: implicit-dim reshape, no relayout)
+        # unit phase factor over this chunk's bins, k = k1*rb + k2
+        # (leading-dim outer product + merge: implicit reshape, no relayout)
         phire = (pyre[:, None] * pxre[None] - pyim[:, None] * pxim[None]
-                 ).reshape(p1b * rbb, s_blk, f_blk)[:b_real].astype(cdt)
+                 ).reshape(kb_c, s_blk, f_blk)
         phiim = (pyre[:, None] * pxim[None] + pyim[:, None] * pxre[None]
-                 ).reshape(p1b * rbb, s_blk, f_blk)[:b_real].astype(cdt)
+                 ).reshape(kb_c, s_blk, f_blk)
         for mi in range(m_filt):
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
-            z = (phire * tre_buf[:b_real, sl]
-                 - phiim * tim_buf[:b_real, sl]).astype(cdt)
+            z = (phire * tre_buf[:, sl].astype(jnp.float32)
+                 - phiim * tim_buf[:, sl].astype(jnp.float32))
             red = jax.lax.dot_general(ones, z, dn1,
-                                      preferred_element_type=jnp.float32)
-            out_ref[mi, :, gi, :] = red[0]
+                                      preferred_element_type=jnp.float32)[0]
+
+            @pl.when(kc == 0)
+            def _(mi=mi, gi=gi, red=red):
+                out_ref[mi, :, gi, :] = red
+
+            @pl.when(kc > 0)
+            def _(mi=mi, gi=gi, red=red):
+                out_ref[mi, :, gi, :] = out_ref[mi, :, gi, :] + red
 
 
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
-                              b_real: int, p1b: int, rbb: int,
-                              interpret: bool | None = None):
+                              p1b: int, rbb: int,
+                              interpret: bool | None = None,
+                              vmem_budget: int = 100 * 1024 * 1024):
     """Invoke the v2 fused backward kernel (spectral in-kernel gather).
 
     Args:
-      xs: (B, M, 2N, S) blurred-input spectra (B padded to a multiple of 8).
+      xs: (B, M, 2N, S) blurred-input spectra, B = P1*rb bin-major.
       es: (B, 2N, F) error spectra.
       t1: (2*P1, nj) axis-1 [cos; sin] phase table.
       t2: (2*rb, nj) axis-2 table with the rfft conjugate-half coefficient
         and 1/(P1*P2) folded in.
       a1, a2: (nj, G, S, F) bilinear one-hot exponent weights (from mu1/mu2).
-      b_real: number of real (un-padded) bins = P1*rb.
 
     Returns: (M, S, G, F) float32 unit gradients.
     """
     b, m, n2, s = xs.shape
     f = es.shape[2]
     nj, g = a1.shape[0], a1.shape[1]
+    if b != p1b * rbb:
+        raise ValueError(f"B={b} != P1*rb={p1b * rbb}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     itemsize = jnp.dtype(xs.dtype).itemsize
 
-    f_blk = min(_ceil_to(f, 128), 128)
-    kb = _ceil_to(b, 8)
-    s_blk = None
-    for cand in (128, 64, 32, 16, 8):
-        if cand > _ceil_to(s, 8):
-            continue
-        xs_b = kb * m * n2 * cand * itemsize * 2
-        es_b = kb * n2 * f_blk * itemsize * 2
-        t_b = 2 * kb * m * cand * f_blk * itemsize
-        phi_b = 2 * p1b * rbb * cand * f_blk * 4
-        z_b = b_real * cand * f_blk * 4 * 2
-        py_b = 2 * (p1b + rbb) * cand * f_blk * 4
-        a_b = 2 * nj * g * cand * f_blk * itemsize * 2
-        if xs_b + es_b + t_b + phi_b + z_b + py_b + a_b <= 100 * 1024 * 1024:
-            s_blk = cand
-            break
-    if s_blk is None:
+    # Block shapes: Mosaic requires the LAST TWO dims of every block to be
+    # (8, 128)-divisible or equal to the array dims.
+    if f % 128 == 0:
+        f_blk = 128
+    elif f % 8 == 0 and f <= 512:
+        f_blk = f
+    else:
+        raise ValueError(f"fused_spectral_grads: unsupported F={f}")
+    if s % 128 == 0:
+        s_blk = 128
+    elif s % 8 == 0 and s <= 512:
+        s_blk = s
+    else:
+        raise ValueError(f"fused_spectral_grads: unsupported S={s}")
+
+    def footprint(k1_blk):
+        kb_c = k1_blk * rbb
+        xs_b = 2 * kb_c * m * n2 * s_blk * itemsize
+        es_b = 2 * kb_c * n2 * f_blk * itemsize
+        t_b = 2 * kb_c * m * s_blk * f_blk * itemsize
+        phi_b = 2 * kb_c * s_blk * f_blk * 4
+        z_b = 2 * kb_c * s_blk * f_blk * 4
+        py_b = 2 * (k1_blk + rbb) * s_blk * f_blk * 4
+        a_b = 4 * nj * g * s_blk * f_blk * itemsize
+        return xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
+
+    budget = vmem_budget
+    k1_blk = None
+    if footprint(p1b) <= budget:
+        k1_blk = p1b              # single chunk, exact table rows
+    else:
+        # multi-chunk: k1_blk must be a multiple of 8 so the in-kernel
+        # table slice start is provably sublane-aligned
+        for n_k1 in range(2, p1b + 1):
+            cand = _ceil_to(-(-p1b // n_k1), 8)
+            if footprint(cand) <= budget:
+                k1_blk = cand
+                break
+    if k1_blk is None:
         raise ValueError(
             f"fused_spectral_grads: no VMEM plan for B={b} M={m} S={s} "
             f"F={f}; use the unfused fourier path")
+    n_k1 = -(-p1b // k1_blk)
+    p1p = n_k1 * k1_blk
 
-    sp = _ceil_to(s, s_blk)
-    fp = _ceil_to(f, f_blk)
-    if sp != s or kb != b:
-        xs = jnp.pad(xs, ((0, kb - b), (0, 0), (0, 0), (0, sp - s)))
-    if fp != f or kb != b:
-        es = jnp.pad(es, ((0, kb - b), (0, 0), (0, fp - f)))
-    if sp != s or fp != f:
-        a1 = jnp.pad(a1, ((0, 0), (0, 0), (0, sp - s), (0, fp - f)))
-        a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, sp - s), (0, fp - f)))
+    if p1p != p1b:
+        # pad k1 rows: zero spectra + zero table rows contribute nothing
+        pad_bins = (p1p - p1b) * rbb
+        xs = jnp.pad(xs, ((0, pad_bins), (0, 0), (0, 0), (0, 0)))
+        es = jnp.pad(es, ((0, pad_bins), (0, 0), (0, 0)))
+    t1c = t1[:p1b]
+    t1s = t1[p1b:]
+    if p1p != p1b:
+        t1c = jnp.pad(t1c, ((0, p1p - p1b), (0, 0)))
+        t1s = jnp.pad(t1s, ((0, p1p - p1b), (0, 0)))
 
-    grid = (sp // s_blk, fp // f_blk)
+    grid = (s // s_blk, f // f_blk, n_k1)
     kern = functools.partial(
-        _kernel_spectral, n_img=n_img, m_filt=m, p1b=p1b, rbb=rbb,
-        b_real=b_real, kb=kb, g_units=g)
+        _kernel_spectral, n_img=n_img, m_filt=m, rbb=rbb, k1_blk=k1_blk,
+        g_units=g)
+    kb_c = k1_blk * rbb
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((kb, m, n2, s_blk), lambda si, fj: (0, 0, 0, si),
+            pl.BlockSpec((kb_c, m, n2, s_blk),
+                         lambda si, fj, kc: (kc, 0, 0, si),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb, n2, f_blk), lambda si, fj: (0, 0, fj),
+            pl.BlockSpec((kb_c, n2, f_blk), lambda si, fj, kc: (kc, 0, fj),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * p1b, nj), lambda si, fj: (0, 0),
+            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * rbb, nj), lambda si, fj: (0, 0),
+            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, g, s_blk, f_blk), lambda si, fj: (0, 0, si, fj),
+            pl.BlockSpec((2 * rbb, nj), lambda si, fj, kc: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, g, s_blk, f_blk), lambda si, fj: (0, 0, si, fj),
+            pl.BlockSpec((nj, g, s_blk, f_blk),
+                         lambda si, fj, kc: (0, 0, si, fj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nj, g, s_blk, f_blk),
+                         lambda si, fj, kc: (0, 0, si, fj),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, s_blk, g, f_blk),
-                               lambda si, fj: (0, si, 0, fj),
+                               lambda si, fj, kc: (0, si, 0, fj),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, sp, g, fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, s, g, f), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
-            pltpu.VMEM((kb, m * s_blk, f_blk), xs.dtype),
+            pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
+            pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(xs, es.astype(xs.dtype), t1.astype(xs.dtype), t2.astype(xs.dtype),
-      a1.astype(xs.dtype), a2.astype(xs.dtype))
-    return out[:, :s, :, :f]
+    )(xs, es.astype(xs.dtype), t1c.astype(xs.dtype), t1s.astype(xs.dtype),
+      t2.astype(xs.dtype), a1.astype(xs.dtype), a2.astype(xs.dtype))
+    return out

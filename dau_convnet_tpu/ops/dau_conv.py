@@ -378,13 +378,40 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                                       cfg.use_interpolation)
     elif cfg.engine == "fourier":
         # spectral tap-gather: unit grads straight from the cross-spectra.
-        # Measured best of three table strategies at AlexNet shapes (dense
-        # conv-backward-filter 2.1 ms, Pallas partial-iDFT 2.6 ms, this
-        # 1.64 ms at conv4; see PERF_NOTES.md round-2 table).
+        # On TPU, the fused Pallas kernel (cross + in-kernel spectral
+        # gather, cross-spectra never touch HBM) when the VMEM plan fits;
+        # otherwise (or on other backends) the unfused XLA form. Measured
+        # at AlexNet conv4: dense conv-backward-filter 2.1 ms, Pallas
+        # partial-iDFT 2.6 ms, unfused spectral gather 1.25 ms, fused
+        # kernel 0.98 ms (PERF_NOTES.md).
         from . import fourier_engine
-        grads = fourier_engine.fourier_unit_grads(
-            xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
-            cfg.use_interpolation, precision=cfg.lax_precision)
+        grads = None
+        # Single-device TPU only: under multi-device auto-pjit, GSPMD
+        # cannot partition the custom call (it would replicate the batch);
+        # sharded runs keep the unfused XLA form, which partitions cleanly.
+        # The fused kernel wins when the bin count is small (its in-VMEM
+        # phase/product temporaries scale with bins x s_blk x f_blk):
+        # measured conv4 (B=153) 0.84 vs 1.37 ms, but conv2 (B=496)
+        # 0.94 vs 0.58 ms - hence the bin-count gate.
+        p1_, p2_, rb_ = fourier_engine.plan_bins(
+            h, w_sp, cfg.synth_kernel_size)
+        import os
+        fused_env = os.environ.get("DAU_FUSED_BWD", "auto")
+        fused_ok = (jax.default_backend() == "tpu"
+                    and jax.device_count() == 1
+                    and (p1_ * rb_ <= 256 if fused_env == "auto"
+                         else fused_env == "1"))
+        if fused_ok:
+            try:
+                grads = fourier_engine.fourier_unit_grads_fused2(
+                    xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
+                    cfg.use_interpolation, precision=cfg.lax_precision)
+            except ValueError:  # no VMEM plan for this shape
+                grads = None
+        if grads is None:
+            grads = fourier_engine.fourier_unit_grads(
+                xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
+                cfg.use_interpolation, precision=cfg.lax_precision)
     else:
         table = xla_engine.grad_tables(xb, gy_for_params, cfg.synth_kernel_size,
                                        precision=cfg.lax_precision)

@@ -266,29 +266,44 @@ def fourier_apply_phi(x_blur, phire, phiim, h, w_sp, p1, p2, rb, precision,
     back. With contract_f=True the contraction runs over Phi's F axis
     (producing the S-channel output of the input-gradient path).
 
-    The complex product uses TWO per-bin matmuls with X's re/im stacked
-    along the row axis (2N = 64 rows) instead of four N = 32-row matmuls:
-    [Xre; Xim] @ Phire and [Xre; Xim] @ Phiim give all four real products
-    as row halves - double the MXU row utilization at these batch sizes."""
+    Default: four N-row per-bin matmuls. The "stacked" variant
+    (DAU_STACKED_BINMM=1) runs TWO matmuls with X's re/im stacked along
+    rows (2N) - double the MXU row utilization standalone, but measured
+    0.26 ms SLOWER per AlexNet-DAU step in-context (the concat +
+    bigger transpose break XLA's fusion with the DFT stage); kept as an
+    env knob for re-evaluation at other batch sizes."""
+    import os
     n = x_blur.shape[0]
     dtype = x_blur.dtype
     xre, xim = _rdft2(x_blur, p1, p2, rb, precision)       # (N,C,B)
-    xs = jnp.concatenate([xre, xim], axis=0)               # (2N,C,B)
-    xs_t = jnp.transpose(xs, (2, 0, 1))                    # (B,2N,C)
-    ci = 2 if contract_f else 1
-    flip = (not conj_phi) if contract_f else conj_phi
-    dn = (((2,), (ci,)), ((0,), (0,)))
+    if os.environ.get("DAU_STACKED_BINMM", "0") == "1":
+        xs = jnp.concatenate([xre, xim], axis=0)           # (2N,C,B)
+        xs_t = jnp.transpose(xs, (2, 0, 1))                # (B,2N,C)
+        ci = 2 if contract_f else 1
+        flip = (not conj_phi) if contract_f else conj_phi
+        dn = (((2,), (ci,)), ((0,), (0,)))
 
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, dn, precision=precision,
-                                   preferred_element_type=jnp.float32)
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, dn, precision=precision,
+                                       preferred_element_type=jnp.float32)
 
-    mm1 = mm(xs_t, phire)                  # [Xre@Pre; Xim@Pre]
-    mm2 = mm(xs_t, phiim)                  # [Xre@Pim; Xim@Pim]
-    if flip:
-        mm2 = -mm2
-    yre = mm1[:, :n] - mm2[:, n:]
-    yim = mm2[:, :n] + mm1[:, n:]
+        mm1 = mm(xs_t, phire)              # [Xre@Pre; Xim@Pre]
+        mm2 = mm(xs_t, phiim)              # [Xre@Pim; Xim@Pim]
+        if flip:
+            mm2 = -mm2
+        yre = mm1[:, :n] - mm2[:, n:]
+        yim = mm2[:, :n] + mm1[:, n:]
+    else:
+        xre_t = jnp.transpose(xre, (2, 0, 1))              # (B,N,C)
+        xim_t = jnp.transpose(xim, (2, 0, 1))
+        if contract_f:
+            yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
+                                   conj_b=not conj_phi, contract=(2, 2),
+                                   out_dtype=jnp.float32)
+        else:
+            yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
+                                   conj_b=conj_phi, contract=(2, 1),
+                                   out_dtype=jnp.float32)
     cout = yre.shape[-1]
     cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(w_sp),
                             jnp.float32)
@@ -439,36 +454,6 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
                             precision=precision)
 
 
-def fourier_unit_grads_fused(x_blur_k, err, mu1, mu2, ks: int,
-                             use_interpolation: bool = True,
-                             precision=jax.lax.Precision.DEFAULT):
-    """`fourier_unit_grads` with the cross-spectra x iDFT x tap-gather chain
-    fused in one Pallas kernel (kernels/fused_bwd.py): the B*M*S*F complex
-    cross-spectra (~270 MB bf16 at AlexNet conv4) never touch HBM.
-
-    Same contract as `fourier_unit_grads`: (M, S, G, F) float32.
-    """
-    from ..kernels.fused_bwd import fused_unit_grads_kernel_call
-
-    m, n, s, h, wd = x_blur_k.shape
-    p1, p2, rb = plan_bins(h, wd, ks)
-    c = ks // 2
-
-    xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)       # (M,N,S,B)
-    xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
-    xs = jnp.transpose(xs, (3, 0, 1, 2))                     # (B,M,2N,S)
-    ere, eim = _rdft2(err, p1, p2, rb, precision)            # (N,F,B)
-    es = jnp.concatenate([ere, eim], axis=0)                 # (2N,F,B)
-    es = jnp.transpose(es, (2, 0, 1))                        # (B,2N,F)
-
-    pos = np.arange(-c, c + 1)
-    cmat, smat = _idft_mats(p1, p2, rb, pos, pos, jnp.float32)  # (B,P)
-    return fused_unit_grads_kernel_call(
-        xs, es, cmat.T, smat.T, mu1.astype(jnp.float32),
-        mu2.astype(jnp.float32), ks=ks, n_img=n,
-        use_interpolation=use_interpolation)
-
-
 def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                               use_interpolation: bool = True,
                               precision=jax.lax.Precision.DEFAULT):
@@ -504,7 +489,7 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                        (0, 2, 1, 3))
     return fused_spectral_grads_call(
         xs.astype(x_blur_k.dtype), es.astype(x_blur_k.dtype), t1, t2, a1, a2,
-        n_img=n, b_real=p1 * rb, p1b=p1, rbb=rb)
+        n_img=n, p1b=p1, rbb=rb)
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,

@@ -107,3 +107,66 @@ def test_pallas_fused_engine_end_to_end_vs_oracle():
     assert_matrix(np.asarray(dmu1), gt_bwd[2], "bwd_mu1_grad")
     assert_matrix(np.asarray(dmu2), gt_bwd[3], "bwd_mu2_grad")
     assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
+
+
+class TestFusedSpectralBackward:
+    """v2 fused backward (kernels/fused_bwd.py::fused_spectral_grads_call):
+    cross-spectra + in-kernel spectral tap-gather, validated in interpret
+    mode against the unfused fourier path (which the oracle matrix pins)."""
+
+    def _case(self, S, F, HW, vmem_budget=None):
+        import dau_convnet_tpu.ops.fourier_engine as fe
+        from dau_convnet_tpu.kernels.fused_bwd import (
+            fused_spectral_grads_call)
+
+        N, G, KS = 3, 2, 9
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((N, S, HW, HW)), jnp.float32)
+        err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), jnp.float32)
+        mu1 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        mu2 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        xbm = jnp.stack([x, x * 0.5, -x])
+        hi = jax.lax.Precision.HIGHEST
+        ref = fe.fourier_unit_grads(xbm, err, mu1, mu2, KS, True,
+                                    precision=hi)
+        if vmem_budget is None:
+            got = fe.fourier_unit_grads_fused2(xbm, err, mu1, mu2, KS, True,
+                                               precision=hi)
+        else:
+            p1, p2, rb = fe.plan_bins(HW, HW, KS)
+            span = KS // 2 + 1
+            xre, xim = fe._rdft2(xbm, p1, p2, rb, hi)
+            xs = jnp.transpose(jnp.concatenate([xre, xim], axis=1),
+                               (3, 0, 1, 2))
+            ere, eim = fe._rdft2(err, p1, p2, rb, hi)
+            es = jnp.transpose(jnp.concatenate([ere, eim], axis=0),
+                               (2, 0, 1))
+            t1 = jnp.asarray(fe._phase_table_host(p1, p1, span), jnp.float32)
+            w2 = np.full(rb, 2.0)
+            w2[0] = 1.0
+            if p2 % 2 == 0:
+                w2[-1] = 1.0
+            coef = np.concatenate([w2, w2])[:, None] / (p1 * p2)
+            t2 = jnp.asarray(fe._phase_table_host(p2, rb, span) * coef,
+                             jnp.float32)
+            a1 = jnp.transpose(fe._phase_onehot(mu1, span, True),
+                               (0, 2, 1, 3))
+            a2 = jnp.transpose(fe._phase_onehot(mu2, span, True),
+                               (0, 2, 1, 3))
+            got = fused_spectral_grads_call(
+                xs, es, t1, t2, a1, a2, n_img=N, p1b=p1, rbb=rb,
+                vmem_budget=vmem_budget)
+        rel = float(jnp.max(jnp.abs(ref - got))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert rel < 1e-4, rel
+
+    def test_small(self):
+        self._case(16, 24, 13)
+
+    def test_uneven_spatial(self):
+        self._case(24, 32, 27)
+
+    def test_forced_k1_chunking(self):
+        # tiny budget forces n_k1 > 1: validates the cross-chunk output
+        # accumulation path
+        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024)
