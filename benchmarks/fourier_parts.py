@@ -59,7 +59,7 @@ def main(name):
     print(f"{name}: S={S} F={F} {HW}x{HW} N={N} -> P={p1}x{p2}, bins={b}")
 
     def keep(y, like):
-        return like + jnp.sum(y).astype(like.dtype) * 0.0
+        return like + jnp.sum(y).astype(like.dtype) * 1e-30
 
     def timed(label, step, carry):
         t = time_chained(step, carry, 50)

@@ -126,7 +126,7 @@ def t_grid_overhead():
         )
         def step(c):
             y = f(c)
-            return c + jnp.sum(y).astype(c.dtype) * 0.0
+            return c + jnp.sum(y).astype(c.dtype) * 1e-30
         return time_chained(step, x, 30)
 
     t16 = run(16)

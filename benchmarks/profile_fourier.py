@@ -32,7 +32,7 @@ def timed(name, make_step, carry, iters=40):
 
 
 def keep(y, like):
-    return like + jnp.sum(y).astype(like.dtype) * 0.0
+    return like + jnp.sum(y).astype(like.dtype) * 1e-30
 
 
 def profile(name):
@@ -91,7 +91,7 @@ def profile(name):
             c, w4, mu14, mu24)
         return (c - 1e-6 * dx
                 + (jnp.sum(dw) + jnp.sum(dm1) + jnp.sum(dm2)).astype(c.dtype)
-                * 0.0)
+                * 1e-30)
     t_layer = timed("whole layer fwd+bwd (custom_vjp)", layer_step, x)
     print(f"  {'sum of components':34s} {total * 1e3:8.3f} ms "
           f"(layer includes blurs/finalize not itemized)", flush=True)

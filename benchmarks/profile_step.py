@@ -97,7 +97,7 @@ def layer_profile(name, S, F, HW):
     def table_step(c):
         t = xla_engine.grad_tables(xb3, c, KS, precision=prec)
         # fold the table back into a same-shaped carry perturbation
-        return c + jnp.sum(t).astype(c.dtype) * 0.0
+        return c + jnp.sum(t).astype(c.dtype) * 1e-30
     res["tables"] = timed("grad tables (M=3 conv)", table_step, err)
 
     # 6. tap gather
@@ -105,7 +105,7 @@ def layer_profile(name, S, F, HW):
 
     def gather_step(c):
         g = xla_engine.tap_gather(c, mu1, mu2, KS, True)
-        return c + jnp.sum(g).astype(c.dtype) * 0.0
+        return c + jnp.sum(g).astype(c.dtype) * 1e-30
     res["tap_gather"] = timed("tap gather", gather_step, table)
 
     # 7. whole layer fwd+bwd via custom_vjp (end-to-end check)

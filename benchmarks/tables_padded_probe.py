@@ -51,7 +51,7 @@ def main(name):
                                             - b.astype(jnp.float32)))))
 
     def keep(y, like):
-        return like + jnp.sum(y).astype(like.dtype) * 0.0
+        return like + jnp.sum(y).astype(like.dtype) * 1e-30
 
     for label, fn in (("implicit pad", xla_engine.grad_tables),
                       ("explicit pad + VALID",
