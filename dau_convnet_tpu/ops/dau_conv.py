@@ -397,8 +397,12 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
             h, w_sp, cfg.synth_kernel_size)
         import os
         fused_env = os.environ.get("DAU_FUSED_BWD", "auto")
+        # G <= 2: the kernel unrolls the per-unit gather over G, and at
+        # G=4 the Mosaic IR grows enough that the remote compile helper
+        # is OOM-killed (observed on the G=4 AlexNet-DAU-large step).
         fused_ok = (jax.default_backend() == "tpu"
                     and jax.device_count() == 1
+                    and mu13.shape[1] <= 2
                     and (p1_ * rb_ <= 256 if fused_env == "auto"
                          else fused_env == "1"))
         if fused_ok:
