@@ -532,3 +532,66 @@ def fourier_grad_tables(x_blur_k, err, ks: int,
     table = partial_idft(cmat, smat, tre.reshape(p1 * rb, -1),
                          tim.reshape(p1 * rb, -1), out_dtype=spec_dtype)
     return table.reshape(ks * ks, m, s, f)
+
+
+def _fused_idft_mats(p1, p2, rb, h, wd):
+    """(HWp, B) partial-iDFT cos/sin matrices for the fused fwd kernel
+    (rows 8-padded; rfft coefficient folded)."""
+    cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(wd),
+                            jnp.float32)
+    hw = h * wd
+    hwp = -(-hw // 8) * 8
+    dct = jnp.pad(cmat.T, ((0, hwp - hw), (0, 0)))
+    dst = jnp.pad(smat.T, ((0, hwp - hw), (0, 0)))
+    return dct, dst, hwp
+
+
+def fourier_apply_phi_fused(x_blur, w, mu1, mu2, ks: int,
+                            use_interpolation: bool = True,
+                            precision=jax.lax.Precision.DEFAULT,
+                            contract_f: bool = False):
+    """`fourier_forward` (contract_f=False) or the input gradient
+    (contract_f=True, x_blur = mirror-blurred error) with Phi built
+    in-kernel and the per-bin matmuls + partial iDFT fused in one Pallas
+    pass (kernels/fused_fwd.py): Phi and the Y spectra never touch HBM.
+
+    w, mu1, mu2: (S, G, F). Returns (N, F, H, W) - or (N, S, H, W) for
+    the input-gradient direction.
+    """
+    from ..kernels.fused_fwd import fused_apply_phi_call
+
+    n, cin, h, wd = x_blur.shape
+    p1, p2, rb = plan_bins(h, wd, ks)
+    span = ks // 2 + 1
+    dtype = x_blur.dtype
+
+    xre, xim = _rdft2(x_blur, p1, p2, rb, precision)     # (N,CI,B)
+    xs = jnp.concatenate([xre, xim], axis=0)             # (2N,CI,B)
+    xs = jnp.transpose(xs, (2, 0, 1))                    # (B,2N,CI)
+
+    t1 = np.asarray(_phase_table_host(p1, p1, span))
+    t2 = np.asarray(_phase_table_host(p2, rb, span))
+    if contract_f:
+        # conj(Phi): negate the sin halves of both 1D factor tables
+        t1[p1:] = -t1[p1:]
+        t2[rb:] = -t2[rb:]
+    t1 = jnp.asarray(t1, jnp.float32)
+    t2 = jnp.asarray(t2, jnp.float32)
+
+    a2 = _phase_onehot(mu2, span, use_interpolation)     # (nj,S,G,F)
+    aw = a2 * w.astype(jnp.float32)[None]
+    a1 = _phase_onehot(mu1, span, use_interpolation)
+    if contract_f:
+        aw = jnp.transpose(aw, (0, 2, 3, 1))             # (nj,G,F,S)
+        a1 = jnp.transpose(a1, (0, 2, 3, 1))
+    else:
+        aw = jnp.transpose(aw, (0, 2, 1, 3))             # (nj,G,S,F)
+        a1 = jnp.transpose(a1, (0, 2, 1, 3))
+
+    dct, dst, hwp = _fused_idft_mats(p1, p2, rb, h, wd)
+    out = fused_apply_phi_call(
+        xs.astype(dtype), t1, t2, aw.astype(dtype), a1.astype(dtype),
+        dct, dst, n_img=n, p1b=p1, rbb=rb)               # (HWp,N,CO)
+    co = out.shape[2]
+    y = jnp.transpose(out[:h * wd], (1, 2, 0)).reshape(n, co, h, wd)
+    return y.astype(dtype)

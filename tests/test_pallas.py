@@ -170,3 +170,42 @@ class TestFusedSpectralBackward:
         # tiny budget forces n_k1 > 1: validates the cross-chunk output
         # accumulation path
         self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024)
+
+
+class TestFusedForward:
+    """Fused fwd/dx kernel (kernels/fused_fwd.py) in interpret mode vs the
+    unfused fourier chain (which the oracle matrix pins)."""
+
+    def _case(self, S, F, HW, contract_f):
+        import dau_convnet_tpu.ops.fourier_engine as fe
+
+        N, G, KS = 3, 2, 9
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((N, S, HW, HW)), jnp.float32)
+        err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((S, G, F)) * 0.1, jnp.float32)
+        mu1 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        mu2 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        if contract_f:
+            p1, p2, rb = fe.plan_bins(HW, HW, KS)
+            phi = fe.build_phi(w, mu1, mu2, p1, p2, rb)
+            ref = fe.fourier_input_grad(err, phi, KS, precision=hi)
+            got = fe.fourier_apply_phi_fused(err, w, mu1, mu2, KS, True,
+                                             precision=hi, contract_f=True)
+        else:
+            ref = fe.fourier_forward(x, w, mu1, mu2, KS, True, precision=hi)
+            got = fe.fourier_apply_phi_fused(x, w, mu1, mu2, KS, True,
+                                             precision=hi)
+        rel = float(jnp.max(jnp.abs(ref - got))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert rel < 1e-4, rel
+
+    def test_forward(self):
+        self._case(16, 24, 13, False)
+
+    def test_input_grad(self):
+        self._case(16, 24, 13, True)
+
+    def test_forward_uneven(self):
+        self._case(24, 32, 27, False)
