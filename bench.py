@@ -73,15 +73,35 @@ def time_chained(make_step, carry, iters=100):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1 = iters // 5
-    t1 = measure(n1)
-    # scale the long run so the differenced signal dominates dispatch noise
-    n2 = max(iters, int(n1 * max(2.0, 0.02 / max(t1, 1e-5))))
-    t2 = measure(n2)
-    dt = (t2 - t1) / (n2 - n1)
-    if dt <= 0:  # fast steps: fall back to the amortized long run
-        dt = t2 / n2
-    return dt
+    def run_pair():
+        n1 = iters // 5
+        t1 = measure(n1)
+        # scale the long run so the differenced signal dominates dispatch
+        # noise
+        n2 = max(iters, int(n1 * max(2.0, 0.02 / max(t1, 1e-5))))
+        t2 = measure(n2)
+        dt = (t2 - t1) / (n2 - n1)
+        if dt <= 0:  # fast steps: fall back to the amortized long run
+            dt = t2 / n2
+        return dt, t2
+
+    # Median of three independent pairs: the differenced signal of a
+    # single pair varies run-to-run by up to ~20% on the fast (conv
+    # baseline) model, which swings the headline ratio. Implausibly fast
+    # pairs (a transient tunnel failure mode: chained scans returning
+    # near-instantly) are discarded unless every pair hits it.
+    import sys
+    dts = []
+    for _ in range(3):
+        dt, t2 = run_pair()
+        if t2 < 0.05:
+            print("time_chained: implausibly fast measurement, discarding",
+                  file=sys.stderr)
+            continue
+        dts.append(dt)
+    if not dts:
+        dts = [run_pair()[0]]
+    return sorted(dts)[len(dts) // 2]
 
 
 def bench_alexnet(args):
