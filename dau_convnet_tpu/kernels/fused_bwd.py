@@ -75,7 +75,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
                      a2_ref, out_ref, tre_buf, tim_buf, *, n_img: int,
-                     m_filt: int, rbb: int, k1_blk: int, g_units: int):
+                     m_filt: int, rbb: int, k1_blk: int, g_units: int,
+                     hi_precision: bool):
     """One (s_blk, f_blk, k1-chunk) grid step.
 
     xs_ref:  (kb_c, M, 2N, s_blk) input spectra (re/im stacked along 2N)
@@ -95,6 +96,16 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
     cdt = xs_ref.dtype
     dnb = (((1,), (1,)), ((0,), (0,)))
     dn1 = (((1,), (0,)), ((), ()))
+    # Mosaic's f32 dot_general defaults to a truncated-precision pass:
+    # without HIGHEST, the compiled kernel's gradients came out with
+    # bf16-class (~1e-2) error in the f32 oracle mode while interpret
+    # mode was exact (caught by benchmarks/tpu_oracle_check.py).
+    prec = (jax.lax.Precision.HIGHEST if hi_precision
+            else jax.lax.Precision.DEFAULT)
+
+    def dot(a, b, dn):
+        return jax.lax.dot_general(a, b, dn, precision=prec,
+                                   preferred_element_type=jnp.float32)
 
     def cross_body(i, carry):
         k0 = i * rbb
@@ -105,12 +116,8 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
             lhs_im = jnp.concatenate(
                 [lhs[:, n_img:], -lhs[:, :n_img]], axis=1)
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
-            tre_buf[pl.ds(k0, rbb), sl] = jax.lax.dot_general(
-                lhs, esg, dnb,
-                preferred_element_type=jnp.float32).astype(cdt)
-            tim_buf[pl.ds(k0, rbb), sl] = jax.lax.dot_general(
-                lhs_im, esg, dnb,
-                preferred_element_type=jnp.float32).astype(cdt)
+            tre_buf[pl.ds(k0, rbb), sl] = dot(lhs, esg, dnb).astype(cdt)
+            tim_buf[pl.ds(k0, rbb), sl] = dot(lhs_im, esg, dnb).astype(cdt)
         return carry
 
     jax.lax.fori_loop(0, k1_blk, cross_body, 0, unroll=False)
@@ -129,12 +136,9 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
     for gi in range(g_units):
         a1g = a1_ref[:, gi]                       # (nj, s_blk, f_blk)
         a2g = a2_ref[:, gi]
-        pyre = jax.lax.dot_general(t1c, a2g, dn1,
-                                   preferred_element_type=jnp.float32)
-        pyim = jax.lax.dot_general(t1s, a2g, dn1,
-                                   preferred_element_type=jnp.float32)
-        px = jax.lax.dot_general(t2_ref[...], a1g, dn1,
-                                 preferred_element_type=jnp.float32)
+        pyre = dot(t1c, a2g, dn1)
+        pyim = dot(t1s, a2g, dn1)
+        px = dot(t2_ref[...], a1g, dn1)
         pxre, pxim = px[:rbb], px[rbb:]
         # unit phase factor over this chunk's bins, k = k1*rb + k2
         # (leading-dim outer product + merge: implicit reshape, no relayout)
@@ -146,8 +150,7 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
             z = (phire * tre_buf[:, sl].astype(jnp.float32)
                  - phiim * tim_buf[:, sl].astype(jnp.float32))
-            red = jax.lax.dot_general(ones, z, dn1,
-                                      preferred_element_type=jnp.float32)[0]
+            red = dot(ones, z, dn1)[0]
 
             @pl.when(kc == 0)
             def _(mi=mi, gi=gi, red=red):
@@ -242,7 +245,7 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     grid = (s // s_blk, f // f_blk, n_k1)
     kern = functools.partial(
         _kernel_spectral, n_img=n_img, m_filt=m, rbb=rbb, k1_blk=k1_blk,
-        g_units=g)
+        g_units=g, hi_precision=(jnp.dtype(xs.dtype) == jnp.float32))
     kb_c = k1_blk * rbb
     out = pl.pallas_call(
         kern,

@@ -43,7 +43,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _kernel(xs_ref, t1c_ref, t1s_ref, t2_ref, aw_ref, a_ref, dct_ref,
             dst_ref, out_ref, phre_buf, phim_buf, yre_buf, yim_buf, *,
-            n_img: int, rbb: int, k1_blk: int, g_units: int):
+            n_img: int, rbb: int, k1_blk: int, g_units: int,
+            hi_precision: bool):
     """One (co-tile, k1-chunk) grid step.
 
     xs_ref:  (kb_c, 2N, CI)   input spectra, re/im stacked along 2N
@@ -61,6 +62,15 @@ def _kernel(xs_ref, t1c_ref, t1s_ref, t2_ref, aw_ref, a_ref, dct_ref,
     kb_c = k1_blk * rbb
     dn1 = (((1,), (0,)), ((), ()))
     dnb = (((2,), (1,)), ((0,), (0,)))
+    # HIGHEST for f32 operands: Mosaic's default f32 dot is truncated
+    # (bf16-class error, caught by benchmarks/tpu_oracle_check.py on the
+    # sibling backward kernel)
+    prec = (jax.lax.Precision.HIGHEST if hi_precision
+            else jax.lax.Precision.DEFAULT)
+
+    def dot(a, b, dn):
+        return jax.lax.dot_general(a, b, dn, precision=prec,
+                                   preferred_element_type=jnp.float32)
 
     if t1c_ref.shape[0] == k1_blk:
         t1c = t1c_ref[...]
@@ -81,12 +91,9 @@ def _kernel(xs_ref, t1c_ref, t1s_ref, t2_ref, aw_ref, a_ref, dct_ref,
     for gi in range(g_units):
         awg = aw_ref[:, gi]                       # (nj, CI, co)
         ag = a_ref[:, gi]
-        pyre = jax.lax.dot_general(t1c, awg, dn1,
-                                   preferred_element_type=jnp.float32)
-        pyim = jax.lax.dot_general(t1s, awg, dn1,
-                                   preferred_element_type=jnp.float32)
-        px = jax.lax.dot_general(t2_ref[...], ag, dn1,
-                                 preferred_element_type=jnp.float32)
+        pyre = dot(t1c, awg, dn1)
+        pyim = dot(t1s, awg, dn1)
+        px = dot(t2_ref[...], ag, dn1)
         pxre, pxim = px[:rbb], px[rbb:]
         for si in range(n_slices):
             r0 = si * rows_per
@@ -111,10 +118,8 @@ def _kernel(xs_ref, t1c_ref, t1s_ref, t2_ref, aw_ref, a_ref, dct_ref,
     def bin_body(i, carry):
         k0 = i * rbb
         xsg = xs_ref[pl.ds(k0, rbb)]              # (rb, 2N, CI)
-        d1 = jax.lax.dot_general(xsg, phre_buf[pl.ds(k0, rbb)], dnb,
-                                 preferred_element_type=jnp.float32)
-        d2 = jax.lax.dot_general(xsg, phim_buf[pl.ds(k0, rbb)], dnb,
-                                 preferred_element_type=jnp.float32)
+        d1 = dot(xsg, phre_buf[pl.ds(k0, rbb)], dnb)
+        d2 = dot(xsg, phim_buf[pl.ds(k0, rbb)], dnb)
         yre_buf[pl.ds(k0, rbb)] = d1[:, :n_img] - d2[:, n_img:]
         yim_buf[pl.ds(k0, rbb)] = d2[:, :n_img] + d1[:, n_img:]
         return carry
@@ -122,10 +127,8 @@ def _kernel(xs_ref, t1c_ref, t1s_ref, t2_ref, aw_ref, a_ref, dct_ref,
     jax.lax.fori_loop(0, k1_blk, bin_body, 0, unroll=False)
 
     # ---- stage 3: partial iDFT over this chunk, accumulated across chunks
-    contrib = (jax.lax.dot_general(dct_ref[...], yre_buf[...], dn1,
-                                   preferred_element_type=jnp.float32)
-               - jax.lax.dot_general(dst_ref[...], yim_buf[...], dn1,
-                                     preferred_element_type=jnp.float32))
+    contrib = (dot(dct_ref[...], yre_buf[...], dn1)
+               - dot(dst_ref[...], yim_buf[...], dn1))
 
     @pl.when(kc == 0)
     def _():
@@ -213,7 +216,8 @@ def fused_apply_phi_call(xs, t1, t2, aw, a, dct, dst, *, n_img: int,
 
     grid = (co // co_blk, n_k1)
     kern = functools.partial(_kernel, n_img=n_img, rbb=rbb, k1_blk=k1_blk,
-                             g_units=g)
+                             g_units=g,
+                             hi_precision=(jnp.dtype(xs.dtype) == jnp.float32))
     kb_c = k1_blk * rbb
     out = pl.pallas_call(
         kern,
