@@ -78,7 +78,7 @@ def time_chained(make_step, carry, iters=100):
         t1 = measure(n1)
         # scale the long run so the differenced signal dominates dispatch
         # noise
-        n2 = max(iters, int(n1 * max(2.0, 0.02 / max(t1, 1e-5))))
+        n2 = max(iters, int(n1 * max(2.0, 0.08 / max(t1, 1e-5))))
         t2 = measure(n2)
         dt = (t2 - t1) / (n2 - n1)
         if dt <= 0:  # fast steps: fall back to the amortized long run
@@ -94,7 +94,7 @@ def time_chained(make_step, carry, iters=100):
     dts = []
     for _ in range(3):
         dt, t2 = run_pair()
-        if t2 < 0.05:
+        if t2 < 0.02:
             print("time_chained: implausibly fast measurement, discarding",
                   file=sys.stderr)
             continue
