@@ -187,10 +187,14 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     itemsize = jnp.dtype(xs.dtype).itemsize
 
     # Block shapes: Mosaic requires the LAST TWO dims of every block to be
-    # (8, 128)-divisible or equal to the array dims.
+    # (8, 128)-divisible or equal to the array dims; and the LANE dim of
+    # the in-kernel 3D dots (F here) must be a 128-multiple when compiled
+    # - F=32 dies in infer-vector-layout with an unsupported shape cast
+    # (reproduced on the reference-speedtest layer config). Interpret mode
+    # has no such constraint (small-shape tests).
     if f % 128 == 0:
         f_blk = 128
-    elif f % 8 == 0 and f <= 512:
+    elif interpret and f % 8 == 0 and f <= 512:
         f_blk = f
     else:
         raise ValueError(f"fused_spectral_grads: unsupported F={f}")

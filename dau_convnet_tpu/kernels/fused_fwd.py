@@ -167,13 +167,16 @@ def fused_apply_phi_call(xs, t1, t2, aw, a, dct, dst, *, n_img: int,
         interpret = jax.default_backend() != "tpu"
     itemsize = jnp.dtype(xs.dtype).itemsize
 
+    # compiled Mosaic requires 128-multiple LANE dims in the 3D dots
+    # (CO in the phase/per-bin dots, CI in the xs operand); interpret mode
+    # (small-shape tests) has no such constraint
     if co % 128 == 0:
         co_blk = 128
-    elif co % 8 == 0 and co <= 512:
+    elif interpret and co % 8 == 0 and co <= 512:
         co_blk = co
     else:
         raise ValueError(f"fused_apply_phi: unsupported CO={co}")
-    if ci % 8 != 0 or ci > 512:
+    if ci % 8 != 0 or ci > 512 or (not interpret and ci % 128 != 0):
         raise ValueError(f"fused_apply_phi: unsupported CI={ci}")
 
     def footprint(k1_blk):
