@@ -83,24 +83,32 @@ def time_chained(make_step, carry, iters=100):
         dt = (t2 - t1) / (n2 - n1)
         if dt <= 0:  # fast steps: fall back to the amortized long run
             dt = t2 / n2
-        return dt, t2
+        return dt, t2, t1, n1, n2
 
     # Median of three independent pairs: the differenced signal of a
     # single pair varies run-to-run by up to ~20% on the fast (conv
     # baseline) model, which swings the headline ratio. Implausibly fast
     # pairs (a transient tunnel failure mode: chained scans returning
-    # near-instantly) are discarded unless every pair hits it.
+    # near-instantly) are discarded unless every pair hits it. The
+    # plausibility cut scales with the pair's own expectation (the short
+    # run projected to the long length), NOT a fixed wall-clock floor - a
+    # fixed 0.02 s cutoff would discard every pair of a genuinely fast
+    # step and quietly fall back to a single noisy pair (round-2 advice).
     import sys
     dts = []
     for _ in range(3):
-        dt, t2 = run_pair()
-        if t2 < 0.02:
+        dt, t2, t1, n1, n2 = run_pair()
+        # the long run can't legitimately finish faster than a quarter of
+        # the short run's projection t1 * n2/n1 (dispatch overhead only
+        # INFLATES the short run's per-step time)
+        if t2 < 0.25 * t1 * n2 / n1:
             print("time_chained: implausibly fast measurement, discarding",
                   file=sys.stderr)
             continue
         dts.append(dt)
     if not dts:
         dts = [run_pair()[0]]
+    time_chained.last_pairs_ms = [round(d * 1e3, 4) for d in dts]
     return sorted(dts)[len(dts) // 2]
 
 
@@ -173,11 +181,13 @@ def bench_alexnet(args):
     dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
     step, carry = make_step(dau, dau_params)
     t_dau = time_chained(step, carry, args.iters)
+    dau_pairs = time_chained.last_pairs_ms
 
     conv = AlexNetConv()
     conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
     cstep, ccarry = make_step(conv, conv_params)
     t_conv = time_chained(cstep, ccarry, args.iters)
+    conv_pairs = time_chained.last_pairs_ms
 
     print(json.dumps({
         "metric": f"alexnet_dau_{args.variant}_trainstep_images_per_sec(N{N},227x227,{args.dtype})",
@@ -187,6 +197,11 @@ def bench_alexnet(args):
         "detail": {
             "dau_step_ms": round(t_dau * 1e3, 3),
             "conv3x3_step_ms": round(t_conv * 1e3, 3),
+            # the three differenced pair values behind each median: the conv
+            # baseline swings up to ~20% pair-to-pair, so round-over-round
+            # headline deltas should be read against this spread
+            "dau_step_pairs_ms": dau_pairs,
+            "conv3x3_step_pairs_ms": conv_pairs,
             "dau_units": AlexNetDAU(variant=args.variant).num_dau_units(),
             "engine": args.engine,
             # algorithmic MFU: reference-gather FLOPs / time / bf16 peak
@@ -339,7 +354,9 @@ def main():
         return tuple(a - lr * g for a, g in zip(carry, grads))
 
     t_dau = time_chained(dau_step, (x, w, mu1, mu2), args.iters)
+    dau_pairs = time_chained.last_pairs_ms
     t_conv = time_chained(conv_step, (x, k3), args.iters)
+    conv_pairs = time_chained.last_pairs_ms
 
     ips = N / t_dau
     print(json.dumps({
@@ -350,6 +367,8 @@ def main():
         "detail": {
             "dau_ms": round(t_dau * 1e3, 4),
             "conv3x3_ms": round(t_conv * 1e3, 4),
+            "dau_pairs_ms": dau_pairs,
+            "conv3x3_pairs_ms": conv_pairs,
             "device": str(jax.devices()[0]),
         },
     }))

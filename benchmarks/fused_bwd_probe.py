@@ -1,6 +1,6 @@
 """Fused Pallas backward vs unfused spectral gather, real TPU, bf16.
 
-Run: python benchmarks/fused_bwd_probe.py [conv2 conv3 conv4 conv5]
+Run: python benchmarks/fused_bwd_probe.py [--g 4] [conv2 conv3 conv4 conv5]
 """
 
 import sys
@@ -17,6 +17,10 @@ from dau_convnet_tpu.ops import fourier_engine as fe  # noqa: E402
 
 DTYPE = jnp.bfloat16
 N, G, KS, M = 32, 2, 9, 3
+if "--g" in sys.argv:
+    i = sys.argv.index("--g")
+    G = int(sys.argv[i + 1])
+    del sys.argv[i:i + 2]
 PREC = jax.lax.Precision.DEFAULT
 SHAPES = {"conv2": (96, 256, 27), "conv3": (256, 384, 13),
           "conv4": (384, 384, 13), "conv5": (384, 256, 13)}

@@ -46,7 +46,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_spectral_grads_call"]
+__all__ = ["FusedPlanError", "fused_spectral_grads_call"]
+
+
+class FusedPlanError(ValueError):
+    """No fused-kernel plan exists for this shape (VMEM won't fit or a block
+    constraint fails); callers fall back to the unfused XLA path. A dedicated
+    type so the fallback catch cannot mask genuine contract bugs (which stay
+    plain ValueError)."""
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -85,9 +92,18 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
                                   chunk in-kernel - a (k1_blk, nj) block
                                   would violate the (8,128) block rule)
     t2_ref:  (2*rb, nj)           axis-2 [cos; sin] table, rfft coef folded
-    a1/a2:   (nj, G, s_blk, f_blk) bilinear one-hot exponent weights
-    out:     (M, s_blk, G, f_blk) f32, accumulated across k1 chunks
+    a1/a2:   (G, nj, s_blk, f_blk) bilinear one-hot exponent weights
+    out:     (M, G, s_blk, f_blk) f32, accumulated across k1 chunks. G sits
+             on an UNTILED dim so the per-unit loop can index it dynamically
+             (no sublane-alignment proof needed).
     scratch: tre/tim (kb_c, M*s_blk, f_blk)
+
+    The per-unit gather loop is Python-unrolled for G <= 2 (static loads,
+    the measured round-2 configuration) and a lax.fori_loop with
+    dynamic-index loads for larger G: the round-2 kernel unrolled G
+    unconditionally and its Mosaic IR grew until the remote compile helper
+    was OOM-killed at G=4 (the AlexNet-DAU-large shape) - the fori body
+    keeps the IR constant in G.
     """
     kc = pl.program_id(2)
     s_blk = a1_ref.shape[2]
@@ -133,9 +149,9 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
         # start kc * k1_blk is provably sublane-aligned
         t1c = t1c_ref[pl.ds(kc * k1_blk, k1_blk)]
         t1s = t1s_ref[pl.ds(kc * k1_blk, k1_blk)]
-    for gi in range(g_units):
-        a1g = a1_ref[:, gi]                       # (nj, s_blk, f_blk)
-        a2g = a2_ref[:, gi]
+    def gather_unit(gi):
+        a1g = a1_ref[gi]                          # (nj, s_blk, f_blk)
+        a2g = a2_ref[gi]
         pyre = dot(t1c, a2g, dn1)
         pyim = dot(t1s, a2g, dn1)
         px = dot(t2_ref[...], a1g, dn1)
@@ -154,11 +170,21 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
 
             @pl.when(kc == 0)
             def _(mi=mi, gi=gi, red=red):
-                out_ref[mi, :, gi, :] = red
+                out_ref[mi, gi] = red
 
             @pl.when(kc > 0)
             def _(mi=mi, gi=gi, red=red):
-                out_ref[mi, :, gi, :] = out_ref[mi, :, gi, :] + red
+                out_ref[mi, gi] = out_ref[mi, gi] + red
+
+    if g_units <= 2:
+        for gi in range(g_units):
+            gather_unit(gi)
+    else:
+        def g_body(gi, carry):
+            gather_unit(gi)
+            return carry
+
+        jax.lax.fori_loop(0, g_units, g_body, 0, unroll=False)
 
 
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
@@ -197,13 +223,13 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     elif interpret and f % 8 == 0 and f <= 512:
         f_blk = f
     else:
-        raise ValueError(f"fused_spectral_grads: unsupported F={f}")
+        raise FusedPlanError(f"fused_spectral_grads: unsupported F={f}")
     if s % 128 == 0:
         s_blk = 128
     elif s % 8 == 0 and s <= 512:
         s_blk = s
     else:
-        raise ValueError(f"fused_spectral_grads: unsupported S={s}")
+        raise FusedPlanError(f"fused_spectral_grads: unsupported S={s}")
 
     def footprint(k1_blk):
         kb_c = k1_blk * rbb
@@ -229,11 +255,17 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                 k1_blk = cand
                 break
     if k1_blk is None:
-        raise ValueError(
+        raise FusedPlanError(
             f"fused_spectral_grads: no VMEM plan for B={b} M={m} S={s} "
             f"F={f}; use the unfused fourier path")
     n_k1 = -(-p1b // k1_blk)
     p1p = n_k1 * k1_blk
+
+    # kernel-side layouts: units on the leading (untiled) dim of the one-hot
+    # weights and of the output, so the per-unit loop indexes them
+    # dynamically (see _kernel_spectral docstring)
+    a1 = jnp.transpose(a1, (1, 0, 2, 3))          # (G, nj, S, F)
+    a2 = jnp.transpose(a2, (1, 0, 2, 3))
 
     if p1p != p1b:
         # pad k1 rows: zero spectra + zero table rows contribute nothing
@@ -266,17 +298,17 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * rbb, nj), lambda si, fj, kc: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, g, s_blk, f_blk),
+            pl.BlockSpec((g, nj, s_blk, f_blk),
                          lambda si, fj, kc: (0, 0, si, fj),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, g, s_blk, f_blk),
+            pl.BlockSpec((g, nj, s_blk, f_blk),
                          lambda si, fj, kc: (0, 0, si, fj),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, s_blk, g, f_blk),
-                               lambda si, fj, kc: (0, si, 0, fj),
+        out_specs=pl.BlockSpec((m, g, s_blk, f_blk),
+                               lambda si, fj, kc: (0, 0, si, fj),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, s, g, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, g, s, f), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
             pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
@@ -288,4 +320,4 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         interpret=interpret,
     )(xs, es.astype(xs.dtype), t1c.astype(xs.dtype), t1s.astype(xs.dtype),
       t2.astype(xs.dtype), a1.astype(xs.dtype), a2.astype(xs.dtype))
-    return out
+    return jnp.transpose(out, (0, 2, 1, 3))       # -> (M, S, G, F)

@@ -48,7 +48,7 @@ class AlexNetDAU(nn.Module):
     # optional kernel-tier promise for all DAU layers (|mu| bound); pair with
     # utils.tiers.tier_for_params for the between-epochs re-jit workflow
     static_max_offset: tp.Optional[float] = None
-    engine: str = "xla"
+    engine: str = "auto"
     train: bool = True
     dtype: tp.Any = jnp.float32
 

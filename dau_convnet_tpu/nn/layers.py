@@ -244,7 +244,10 @@ class DAUConv2d(nn.Module):
     # dispatch (dau_conv_op.cpp:223-256); see utils.tiers.tier_for_params for
     # the between-epochs re-jit workflow. None = derive from max_kernel_size.
     static_max_offset: tp.Optional[float] = None
-    engine: str = "xla"
+    # 'auto' (default): resolved by DAUConvSettings - fourier for the
+    # production bf16 path (wins every measured model shape), xla for
+    # f32/'highest' (the oracle-exact mode). See PERF_NOTES.md.
+    engine: str = "auto"
     # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
     # (native bf16 MXU) otherwise
     precision: tp.Optional[str] = None

@@ -70,8 +70,12 @@ class DAUConvSettings:
     compute_sigma_grad: bool = True
     # 'xla': dense synthesized-kernel convs (spatial); 'fourier': per-bin
     # spectral contractions (same semantics, ~ks^2/(4G) fewer FLOPs - see
-    # fourier_engine.py); 'pallas'/'pallas_fused': hand-written kernels.
-    engine: str = "xla"
+    # fourier_engine.py); 'pallas'/'pallas_fused': hand-written kernels;
+    # 'auto' (default): fourier for precision='default' (wins every measured
+    # production/bf16 model shape, PERF_NOTES.md per-layer table), xla for
+    # precision='highest' (the f32 oracle mode, where the dense engine's
+    # 6-pass HIGHEST matmuls measured faster). Resolved at construction.
+    engine: str = "auto"
     # 'highest' = true-f32 MXU passes (oracle-exact; required for the
     # differential tests); 'default' = native bf16 MXU passes (production
     # speed; ~1e-2 relative error on f32 inputs, exact-enough for bf16).
@@ -82,6 +86,13 @@ class DAUConvSettings:
     # device each step and re-picks the CUDA kernel, dau_conv_op.cpp:223-256;
     # under jit shapes must be static). None = derive from kernel_size.
     static_max_offset: tp.Optional[float] = None
+    # Fused Pallas backward kernel policy for the fourier engine:
+    # 'auto' = use it when the measured gate says it wins (TPU, single
+    # device, VMEM plan exists); 'on' = force (still requires a plan);
+    # 'off' = always the unfused XLA path. A config field, NOT an env var:
+    # trace-time env reads bake silently into cached executables
+    # (round-2 advisory).
+    fused_bwd: str = "auto"
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0
@@ -91,10 +102,19 @@ class DAUConvSettings:
     def __post_init__(self):
         if self.kernel_size % 2 != 1 or self.kernel_size < 1:
             raise ValueError(f"kernel_size must be odd and >= 1, got {self.kernel_size}")
-        if self.engine not in ("xla", "fourier", "pallas", "pallas_fused"):
+        if self.engine not in ("auto", "xla", "fourier", "pallas", "pallas_fused"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.fused_bwd not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused_bwd {self.fused_bwd!r}")
+        if self.engine == "auto":
+            # measured basis: PERF_NOTES.md per-layer table (fourier wins all
+            # bf16 model shapes); the f32-HIGHEST layer record is the dense
+            # engine's (1.235 ms reference-speedtest layer).
+            object.__setattr__(
+                self, "engine",
+                "fourier" if self.precision == "default" else "xla")
         if self.sigma_lower_bound > self.sigma_upper_bound:
             raise ValueError(
                 f"sigma_lower_bound {self.sigma_lower_bound} exceeds the "
@@ -385,6 +405,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # partial-iDFT 2.6 ms, unfused spectral gather 1.25 ms, fused
         # kernel 0.98 ms (PERF_NOTES.md).
         from . import fourier_engine
+        from ..kernels.fused_bwd import FusedPlanError
         grads = None
         # Single-device TPU only: under multi-device auto-pjit, GSPMD
         # cannot partition the custom call (it would replicate the batch);
@@ -395,22 +416,17 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # 0.94 vs 0.58 ms - hence the bin-count gate.
         p1_, p2_, rb_ = fourier_engine.plan_bins(
             h, w_sp, cfg.synth_kernel_size)
-        import os
-        fused_env = os.environ.get("DAU_FUSED_BWD", "auto")
-        # G <= 2: the kernel unrolls the per-unit gather over G, and at
-        # G=4 the Mosaic IR grows enough that the remote compile helper
-        # is OOM-killed (observed on the G=4 AlexNet-DAU-large step).
-        fused_ok = (jax.default_backend() == "tpu"
+        fused_ok = (cfg.fused_bwd != "off"
+                    and jax.default_backend() == "tpu"
                     and jax.device_count() == 1
-                    and mu13.shape[1] <= 2
-                    and (p1_ * rb_ <= 256 if fused_env == "auto"
-                         else fused_env == "1"))
+                    and (p1_ * rb_ <= 256 if cfg.fused_bwd == "auto"
+                         else True))
         if fused_ok:
             try:
                 grads = fourier_engine.fourier_unit_grads_fused2(
                     xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
                     cfg.use_interpolation, precision=cfg.lax_precision)
-            except ValueError:  # no VMEM plan for this shape
+            except FusedPlanError:  # no VMEM plan for this shape
                 grads = None
         if grads is None:
             grads = fourier_engine.fourier_unit_grads(

@@ -261,22 +261,23 @@ def _bin_matmul(are, aim, bre, bim, precision, conj_b=False,
 
 
 def fourier_apply_phi(x_blur, phire, phiim, h, w_sp, p1, p2, rb, precision,
-                      contract_f: bool = False, conj_phi: bool = False):
+                      contract_f: bool = False, conj_phi: bool = False,
+                      stacked: bool = False):
     """Spectral core: transform x, contract against Phi per bin, transform
     back. With contract_f=True the contraction runs over Phi's F axis
     (producing the S-channel output of the input-gradient path).
 
-    Default: four N-row per-bin matmuls. The "stacked" variant
-    (DAU_STACKED_BINMM=1) runs TWO matmuls with X's re/im stacked along
-    rows (2N) - double the MXU row utilization standalone, but measured
-    0.26 ms SLOWER per AlexNet-DAU step in-context (the concat +
-    bigger transpose break XLA's fusion with the DFT stage); kept as an
-    env knob for re-evaluation at other batch sizes."""
-    import os
+    Default: four N-row per-bin matmuls. The `stacked` variant runs TWO
+    matmuls with X's re/im stacked along rows (2N) - double the MXU row
+    utilization standalone, but measured 0.26 ms SLOWER per AlexNet-DAU
+    step in-context (the concat + bigger transpose break XLA's fusion with
+    the DFT stage); kept as an explicit parameter for re-evaluation at
+    other batch sizes (was a trace-time env knob, retired per round-2
+    advice)."""
     n = x_blur.shape[0]
     dtype = x_blur.dtype
     xre, xim = _rdft2(x_blur, p1, p2, rb, precision)       # (N,C,B)
-    if os.environ.get("DAU_STACKED_BINMM", "0") == "1":
+    if stacked:
         xs = jnp.concatenate([xre, xim], axis=0)           # (2N,C,B)
         xs_t = jnp.transpose(xs, (2, 0, 1))                # (B,2N,C)
         ci = 2 if contract_f else 1

@@ -1,22 +1,36 @@
-"""Train the 3-layer DAU ConvNet on CIFAR-10 (or synthetic data).
+"""Train the 3-layer DAU ConvNet on CIFAR-10 (or digits / synthetic data).
 
 In-framework equivalent of the reference's external example repo
 (skokec/DAU-ConvNet-cifar10-example, linked from README.md:234): the
-3-layer dau_conv2d network with batch norm, trained with SGD + momentum.
+3-layer dau_conv2d network with batch norm, trained with SGD + momentum and
+the reference defaults (mu_learning_rate_factor=500, sigma=0.5, units 2x2,
+k=9).
 
-This environment has no dataset egress, so by default the script runs on a
-synthetic CIFAR-shaped dataset (`--synthetic`, random images with
-linearly-separable-ish labels) to demonstrate the full training loop; point
-`--data-dir` at a CIFAR-10 npz (keys: x_train [N,32,32,3] uint8, y_train)
-to train on the real thing.
+Datasets (this environment has no network egress, so CIFAR-10 itself cannot
+be downloaded here):
+  --dataset digits     sklearn's bundled handwritten-digits set (1797 real
+                       8x8 images, upscaled to 32x32x3): REAL data with a
+                       held-out test split - the accuracy-validation run
+                       (see docs/TRAINING_RESULTS.md for recorded numbers).
+  --dataset synthetic  CIFAR-shaped random images with class-dependent
+                       means (loop/scale demonstration only).
+  --data-npz PATH      a real CIFAR-10 npz (keys x_train [N,32,32,3] uint8,
+                       y_train, and optionally x_test/y_test): used verbatim
+                       when supplied.
+
+`--arch conv` trains the plain-3x3-conv control net of identical topology
+(the sanity baseline: DAU learning dynamics should roughly match it on
+easy data).
 
 Usage:
-    python examples/train_cifar10.py --steps 200 --batch 128
+    python examples/train_cifar10.py --dataset digits --epochs 30
+    python examples/train_cifar10.py --arch conv --dataset digits
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import time
 
@@ -26,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dau_convnet_tpu.models import DAUCifarNet
+from dau_convnet_tpu.models import ConvCifarNet, DAUCifarNet
 from dau_convnet_tpu.utils.math import validate_dau_params
 from dau_convnet_tpu.utils.tiers import max_offset_in_tree, snap_kernel_tier
 
@@ -48,44 +62,105 @@ def synthetic_cifar(n=2048, num_classes=10, seed=0):
     # class-dependent means make the task learnable
     means = rng.normal(0, 0.5, (num_classes, 3, 1, 1)).astype(np.float32)
     x = rng.normal(0, 1.0, (n, 3, 32, 32)).astype(np.float32) + means[y]
-    return x, y.astype(np.int32)
+    return x, y.astype(np.int32), x[:512], y[:512].astype(np.int32)
+
+
+def digits_32x32(test_frac=0.2, seed=0):
+    """sklearn's bundled digits set as 32x32x3 NCHW: each real 8x8 image is
+    4x nearest-upscaled and replicated across channels; a stratified split
+    holds out `test_frac` for the accuracy measurement."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    x = d.images.astype(np.float32) / 16.0 - 0.5         # (N, 8, 8)
+    x = x.repeat(4, axis=1).repeat(4, axis=2)            # (N, 32, 32)
+    x = np.broadcast_to(x[:, None], (x.shape[0], 3, 32, 32)).copy()
+    y = d.target.astype(np.int32)
+    rng = np.random.default_rng(seed)
+    test_idx = []
+    for cls in range(10):
+        cls_idx = np.flatnonzero(y == cls)
+        take = int(round(len(cls_idx) * test_frac))
+        test_idx.append(rng.permutation(cls_idx)[:take])
+    test_idx = np.concatenate(test_idx)
+    mask = np.zeros(len(y), bool)
+    mask[test_idx] = True
+    return x[~mask], y[~mask], x[mask], y[mask]
 
 
 def load_data(args):
-    if args.data_dir:
-        d = np.load(args.data_dir)
+    if args.data_npz:
+        d = np.load(args.data_npz)
         x = (d["x_train"].astype(np.float32) / 255.0 - 0.5).transpose(0, 3, 1, 2)
-        return x, d["y_train"].astype(np.int32)
+        y = d["y_train"].astype(np.int32).reshape(-1)
+        if "x_test" in d:
+            xt = (d["x_test"].astype(np.float32) / 255.0 - 0.5).transpose(0, 3, 1, 2)
+            yt = d["y_test"].astype(np.int32).reshape(-1)
+        else:
+            n = int(len(x) * 0.9)
+            x, xt, y, yt = x[:n], x[n:], y[:n], y[n:]
+        return x, y, xt, yt
+    if args.dataset == "digits":
+        return digits_32x32()
     return synthetic_cifar()
+
+
+def save_params_npz(path, params, batch_stats):
+    """Flatten the params/batch_stats pytrees into one npz (keys are
+    '/'-joined paths) - the recorded artifact that
+    `set_dau_variables_manually` can re-install (tests/test_models.py)."""
+    flat = {}
+    for prefix, tree in (("params", params), ("batch_stats", batch_stats)):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = prefix + "/" + "/".join(k.key for k in kp)
+            flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="total train steps (overrides --epochs)")
+    ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=0.01)
-    ap.add_argument("--data-dir", default=None)
-    ap.add_argument("--synthetic", action="store_true", default=True)
+    ap.add_argument("--dataset", choices=["synthetic", "digits"],
+                    default="synthetic")
+    ap.add_argument("--data-npz", default=None,
+                    help="real CIFAR-10 npz (overrides --dataset)")
+    ap.add_argument("--arch", choices=["dau", "conv"], default="dau")
     ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--save-params", default=None,
+                    help="write final params/batch_stats to this npz")
     ap.add_argument("--check-every", type=int, default=100,
                     help="host-side param guard + kernel-tier check interval")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="eval on the test split every N steps (0 = only at end)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--auto-tier", action="store_true",
                     help="pick static_max_offset from live offsets and re-jit "
                          "when the tier grows (the reference's dynamic "
                          "kernel-size optimization, dau_conv_op.cpp:223-256)")
     args = ap.parse_args()
 
-    x_all, y_all = load_data(args)
-    net = DAUCifarNet(train=True)
+    x_all, y_all, x_test, y_test = load_data(args)
+    steps_per_epoch = max(1, len(x_all) // args.batch)
+    total_steps = args.steps or args.epochs * steps_per_epoch
+    if args.arch == "conv":
+        net = ConvCifarNet(train=True)
+    else:
+        net = DAUCifarNet(train=True)
+    print(f"arch={args.arch} train={len(x_all)} test={len(x_test)} "
+          f"steps={total_steps} ({steps_per_epoch}/epoch)", flush=True)
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(args.seed)
     sample = jnp.asarray(x_all[:args.batch])
     variables = jax.jit(net.init)(rng, sample)
 
     tx = optax.sgd(args.lr, momentum=0.9)
     opt_state = tx.init(variables["params"])
 
-    if args.auto_tier:
+    if args.auto_tier and args.arch == "dau":
         # trace-time tier from the live offsets (+0.5 slack so small drifts
         # don't force a re-jit at every check)
         off = min(math.ceil(max_offset_in_tree(variables["params"]) + 0.5),
@@ -112,23 +187,48 @@ def main():
 
     train_step = make_train_step(net)
 
+    eval_net = net.clone(train=False)
+
+    @jax.jit
+    def eval_logits(params, batch_stats, x):
+        return eval_net.apply({"params": params, "batch_stats": batch_stats}, x)
+
+    def test_accuracy(params, batch_stats):
+        if len(x_test) == 0:
+            return float("nan")
+        correct = 0
+        bs_eval = args.batch
+        n_pad = (-len(x_test)) % bs_eval
+        xt = np.concatenate([x_test, x_test[:n_pad]]) if n_pad else x_test
+        for i in range(0, len(xt), bs_eval):
+            logits = eval_logits(params, batch_stats,
+                                 jnp.asarray(xt[i:i + bs_eval]))
+            pred = np.asarray(logits.argmax(-1))
+            end = min(i + bs_eval, len(x_test))
+            correct += (pred[:end - i] == y_test[i:end]).sum()
+        return correct / len(x_test)
+
     from dau_convnet_tpu.data import epoch_batches, prefetch_to_device
 
     params, batch_stats = variables["params"], variables["batch_stats"]
-    data_rng = np.random.default_rng(1)
+    data_rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
     step = 0
-    while step < args.steps:
+    while step < total_steps:
         batches = epoch_batches(x_all, y_all, args.batch, rng=data_rng)
         for x, y in prefetch_to_device(batches, size=2):
             params, batch_stats, opt_state, loss, acc = train_step(
                 params, batch_stats, opt_state, x, y)
-            if step % 20 == 0 or step == args.steps - 1:
+            if step % 50 == 0 or step == total_steps - 1:
                 print(f"step {step:4d}  loss {float(loss):.4f}  "
                       f"acc {float(acc):.3f}  ({(time.time() - t0):.1f}s)",
                       flush=True)
             step += 1
-            if args.check_every and step % args.check_every == 0:
+            if args.eval_every and step % args.eval_every == 0:
+                print(f"step {step:4d}  TEST acc "
+                      f"{test_accuracy(params, batch_stats):.4f}", flush=True)
+            if (args.check_every and step % args.check_every == 0
+                    and args.arch == "dau"):
                 # runtime guards on concrete params, between jit steps
                 check_dau_health(params, net.max_kernel_size)
                 if args.auto_tier:
@@ -140,12 +240,26 @@ def main():
                               f"static_max_offset={off}")
                         net = net.clone(static_max_offset=float(off))
                         train_step = make_train_step(net)
-            if step >= args.steps:
+            if step >= total_steps:
                 break
 
+    final_acc = test_accuracy(params, batch_stats)
+    wall = time.time() - t0
+    print(json.dumps({
+        "arch": args.arch,
+        "dataset": "cifar10-npz" if args.data_npz else args.dataset,
+        "steps": total_steps,
+        "test_accuracy": round(float(final_acc), 4),
+        "wall_s": round(wall, 1),
+        "device": str(jax.devices()[0]),
+    }), flush=True)
+
+    if args.save_params:
+        save_params_npz(args.save_params, params, batch_stats)
+        print(f"saved params to {args.save_params}")
     if args.ckpt_dir:
         from dau_convnet_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.ckpt_dir, args.steps,
+        save_checkpoint(args.ckpt_dir, total_steps,
                         {"params": params, "batch_stats": batch_stats})
         print(f"saved checkpoint to {args.ckpt_dir}")
 

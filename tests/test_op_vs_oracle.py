@@ -17,7 +17,7 @@ from helpers import assert_matrix, oracle_fwd_bwd, random_case
 
 def run_case(N, W, H, S, F, units, max_kernel_size, max_offset_init, *,
              num_ignore=0, use_interpolation=True, mu_lr=1.0, seed=0,
-             engine="xla"):
+             engine="xla", unit_testing=True):
     rng = np.random.default_rng(seed)
     x, w, mu1, mu2, sigma, err = random_case(
         rng, N=N, W=W, H=H, S=S, F=F, units=units,
@@ -28,7 +28,7 @@ def run_case(N, W, H, S, F, units, max_kernel_size, max_offset_init, *,
         use_interpolation=use_interpolation,
         number_units_ignore=num_ignore,
         mu_learning_rate_factor=mu_lr,
-        unit_testing=True,
+        unit_testing=unit_testing,
         engine=engine,
     )
     sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1), w.shape).astype(np.float32)
@@ -42,7 +42,7 @@ def run_case(N, W, H, S, F, units, max_kernel_size, max_offset_init, *,
 
     gt_fwd, gt_bwd = oracle_fwd_bwd(
         x, w, mu1, mu2, sigma, err, num_ignore=num_ignore,
-        use_interpolation=use_interpolation, unit_testing=True)
+        use_interpolation=use_interpolation, unit_testing=unit_testing)
 
     assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
     assert_matrix(np.asarray(dx), gt_bwd[0], "bwd_error")
@@ -167,3 +167,55 @@ def test_fourier_engine_in_oracle_matrix(case):
     oracle at the reference tolerance across geometry/tier/interp/dummy-unit
     configs."""
     run_case(**case, engine="fourier")
+
+
+# ---------------------------------------------------------------------------
+# Shim-OFF coverage (unit_testing=False): the reference's last-row/col edge
+# masking is a GPU-tile artifact (dau_conv_test.py:95-137) kept only as a
+# compat shim - SURVEY 4.5's contract is that this implementation matches the
+# oracle EVERYWHERE, so the edge-pixel parameter-gradient contributions must
+# be pinned with the shim off on BOTH sides (round-2 verdict item).
+# ---------------------------------------------------------------------------
+
+SHIMOFF_CASES = [
+    dict(N=2, W=12, H=10, S=3, F=4, units=(2, 1), max_kernel_size=9,
+         max_offset_init=3, seed=21),
+    dict(N=2, W=65, H=8, S=5, F=4, units=(1, 2), max_kernel_size=9,
+         max_offset_init=3, seed=22),
+    dict(N=2, W=16, H=16, S=4, F=4, units=(2, 2), max_kernel_size=17,
+         max_offset_init=6, seed=23),
+    dict(N=2, W=16, H=16, S=3, F=4, units=(2, 1), max_kernel_size=9,
+         max_offset_init=3, use_interpolation=False, seed=24),
+    dict(N=2, W=12, H=12, S=3, F=4, units=(1, 2), max_kernel_size=9,
+         max_offset_init=3, num_ignore=1, seed=25),
+]
+_SHIM_IDS = ["base", "patchsplit", "k17", "nointerp", "dummyunit"]
+
+
+@pytest.mark.parametrize("engine", ["xla", "fourier"])
+@pytest.mark.parametrize("case", SHIMOFF_CASES, ids=_SHIM_IDS)
+def test_shim_off(engine, case):
+    run_case(**case, engine=engine, unit_testing=False)
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_fused"])
+def test_shim_off_pallas(engine):
+    run_case(N=2, W=12, H=10, S=3, F=4, units=(2, 1), max_kernel_size=9,
+             max_offset_init=3, seed=26, engine=engine, unit_testing=False)
+
+
+def test_shim_off_fuzz():
+    """Randomized shim-off slice: geometry/params drawn per trial, both
+    production engines against the full-edge oracle."""
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        case = dict(
+            N=int(rng.integers(1, 3)),
+            W=int(rng.integers(6, 20)), H=int(rng.integers(6, 20)),
+            S=int(rng.integers(2, 5)), F=int(rng.integers(2, 6)),
+            units=(int(rng.integers(1, 3)), int(rng.integers(1, 3))),
+            max_kernel_size=9, max_offset_init=3, seed=100 + trial)
+        if (case["units"][0] * case["units"][1]) % 2:
+            case["units"] = (case["units"][0], case["units"][1] + 1)
+        run_case(**case, engine="xla", unit_testing=False)
+        run_case(**case, engine="fourier", unit_testing=False)

@@ -114,12 +114,12 @@ class TestFusedSpectralBackward:
     cross-spectra + in-kernel spectral tap-gather, validated in interpret
     mode against the unfused fourier path (which the oracle matrix pins)."""
 
-    def _case(self, S, F, HW, vmem_budget=None):
+    def _case(self, S, F, HW, vmem_budget=None, G=2):
         import dau_convnet_tpu.ops.fourier_engine as fe
         from dau_convnet_tpu.kernels.fused_bwd import (
             fused_spectral_grads_call)
 
-        N, G, KS = 3, 2, 9
+        N, KS = 3, 9
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.random((N, S, HW, HW)), jnp.float32)
         err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), jnp.float32)
@@ -170,6 +170,17 @@ class TestFusedSpectralBackward:
         # tiny budget forces n_k1 > 1: validates the cross-chunk output
         # accumulation path
         self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024)
+
+    def test_g4_fori_path(self):
+        # G > 2 takes the in-kernel fori_loop gather (dynamic unit
+        # indexing; the round-2 kernel could not compile G=4 at all)
+        self._case(16, 24, 13, G=4)
+
+    def test_g4_chunked(self):
+        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024, G=4)
+
+    def test_g1(self):
+        self._case(16, 24, 13, G=1)
 
 
 class TestFusedForward:

@@ -180,3 +180,35 @@ def test_trainable_sigma_training_matches_oracle():
         [sig_eff], blur_size=17)
     y = jax.jit(layer.apply)(v1, x)
     assert_matrix(np.asarray(y), gt, "trainable_sigma_fwd")
+
+
+def test_engine_auto_resolution():
+    """'auto' resolves at construction: fourier for production bf16
+    precision, xla for the f32 oracle mode (round-2 verdict: the documented
+    quick start must get the measured-fastest engine)."""
+    from dau_convnet_tpu.ops import DAUConvSettings
+
+    assert DAUConvSettings(precision="default").engine == "fourier"
+    assert DAUConvSettings(precision="highest").engine == "xla"
+    # explicit choice is never overridden
+    assert DAUConvSettings(engine="fourier", precision="highest").engine == "fourier"
+    with pytest.raises(ValueError):
+        DAUConvSettings(fused_bwd="maybe")
+
+
+def test_fused_bwd_plan_error_is_distinct():
+    """The no-VMEM-plan signal is a dedicated exception type so the op's
+    fallback catch cannot mask real contract bugs (round-2 advisory)."""
+    from dau_convnet_tpu.kernels.fused_bwd import (FusedPlanError,
+                                                   fused_spectral_grads_call)
+    import jax.numpy as jnp
+
+    assert issubclass(FusedPlanError, ValueError)
+    xs = jnp.zeros((8, 1, 2, 3))   # S=3: no supported block plan
+    es = jnp.zeros((8, 2, 5))
+    t1 = jnp.zeros((8, 6))
+    t2 = jnp.zeros((4, 6))
+    a1 = jnp.zeros((6, 1, 3, 5))
+    with pytest.raises(FusedPlanError):
+        fused_spectral_grads_call(xs, es, t1, t2, a1, a1, n_img=1,
+                                  p1b=4, rbb=2)

@@ -103,3 +103,35 @@ def test_settings_dead_fields_accepted():
     cfg = DAUConvSettings(merge_iteration_step=100, merge_threshold=0.5,
                           mean_iteration_step=1, sigma_iteration_step=1)
     assert cfg.merge_iteration_step == 100
+
+
+@pytest.mark.parametrize("unit_norm,square_norm", [
+    (True, False), (False, True), (False, False), (True, True)])
+@pytest.mark.parametrize("single_dim,forbid_pos", [
+    (False, False), (True, False), (True, True)])
+def test_gaussian_factor_filters_match_dense(unit_norm, square_norm,
+                                             single_dim, forbid_pos):
+    """Every (vecs, terms) factorization reconstructs the dense filters of
+    `gaussian_filters` across ALL normalization modes (the fourier-engine
+    oracle matrix only exercises default unit normalization; this pins the
+    square/none branches too - round-2 advisory)."""
+    from dau_convnet_tpu.ops.gaussian import gaussian_factor_filters
+
+    for sigma in (0.5, 0.8, 1.3):
+        dense = gaussian_filters(
+            jnp.float32(sigma), size=9, single_dim_kernel=single_dim,
+            forbid_positive_dim1=forbid_pos, unit_normalization=unit_norm,
+            square_unit_normalization=square_norm)
+        vecs, terms = gaussian_factor_filters(
+            jnp.float32(sigma), size=9, single_dim_kernel=single_dim,
+            forbid_positive_dim1=forbid_pos, unit_normalization=unit_norm,
+            square_unit_normalization=square_norm)
+        for name, pairs in terms.items():
+            rec = sum(np.outer(np.asarray(vecs[r], np.float64),
+                               np.asarray(vecs[c], np.float64))
+                      for r, c in pairs)
+            got = np.asarray(dense[name], np.float64)
+            np.testing.assert_allclose(
+                rec, got, rtol=2e-5, atol=1e-7,
+                err_msg=f"{name} sigma={sigma} unit={unit_norm} "
+                        f"square={square_norm} 1d={single_dim}")
