@@ -22,15 +22,12 @@ from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op  # noqa: E402
 from tests.helpers import assert_matrix, oracle_fwd_bwd, random_case  # noqa: E402
 
 
-def main():
-    dev = jax.devices()[0]
-    print(f"device: {dev}", flush=True)
-    assert dev.platform == "tpu", "run on the real chip"
-    rng = np.random.default_rng(7)
+def run_case(units, seed):
+    rng = np.random.default_rng(seed)
     # S=128/F=128 at 13x13: the f32 fused-backward VMEM plan fits, so the
     # compiled Mosaic path (not a fallback) is what gets validated.
     x, w, mu1, mu2, sigma, err = random_case(
-        rng, N=4, W=13, H=13, S=128, F=128, units=(2, 1), max_kernel_size=9,
+        rng, N=4, W=13, H=13, S=128, F=128, units=units, max_kernel_size=9,
         max_offset_init=3)
     cfg = DAUConvSettings(kernel_size=9, unit_testing=True,
                           precision="highest", engine="fourier")
@@ -48,12 +45,24 @@ def main():
         jnp.asarray(sig), jnp.asarray(err))
     gt_fwd, gt_bwd = oracle_fwd_bwd(x, w, mu1, mu2, sigma, err,
                                     unit_testing=True)
-    assert_matrix(np.asarray(y), gt_fwd, "fwd_output")
-    assert_matrix(np.asarray(dx), gt_bwd[0], "bwd_error")
-    assert_matrix(np.asarray(dw), gt_bwd[1], "bwd_w_grad")
-    assert_matrix(np.asarray(dmu1), gt_bwd[2], "bwd_mu1_grad")
-    assert_matrix(np.asarray(dmu2), gt_bwd[3], "bwd_mu2_grad")
-    assert_matrix(np.asarray(dsig), gt_bwd[4], "bwd_sigma_grad")
+    g = units[0] * units[1]
+    assert_matrix(np.asarray(y), gt_fwd, f"G{g}_fwd_output")
+    assert_matrix(np.asarray(dx), gt_bwd[0], f"G{g}_bwd_error")
+    assert_matrix(np.asarray(dw), gt_bwd[1], f"G{g}_bwd_w_grad")
+    assert_matrix(np.asarray(dmu1), gt_bwd[2], f"G{g}_bwd_mu1_grad")
+    assert_matrix(np.asarray(dmu2), gt_bwd[3], f"G{g}_bwd_mu2_grad")
+    assert_matrix(np.asarray(dsig), gt_bwd[4], f"G{g}_bwd_sigma_grad")
+    print(f"  G={g} ok", flush=True)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    assert dev.platform == "tpu", "run on the real chip"
+    # G=2 (static-unrolled gather) and G=4 (in-kernel fori gather - the
+    # AlexNet-DAU-large configuration, uncompilable before round 3)
+    run_case((2, 1), seed=7)
+    run_case((2, 2), seed=8)
     print("TPU-COMPILED-ORACLE-OK (fourier engine, fused backward, f32)",
           flush=True)
 
