@@ -31,8 +31,10 @@ def probe(name):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((N, S, HW, HW)), DTYPE)
     err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), DTYPE)
+    gyb = jnp.asarray(rng.standard_normal((N, F, HW, HW)), DTYPE)
     mu1 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
     mu2 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((S, G, F)) * 0.1, DTYPE)
     xbm = jnp.stack([x, x * 0.5, -x])
     print(f"{name}: S={S} F={F} {HW}x{HW}", flush=True)
 
@@ -50,10 +52,28 @@ def probe(name):
     def keep(y, like):
         return like + jnp.sum(y).astype(like.dtype) * 1e-30
 
-    for label, fn in (("unfused", fe.fourier_unit_grads),
-                      ("fused2 ", fe.fourier_unit_grads_fused2)):
-        t = time_chained(lambda c, fn=fn: keep(
-            fn(xbm, c, mu1, mu2, KS, True, precision=PREC), c), err, 30)
+    def unfused_withdx(c):
+        g = fe.fourier_unit_grads(xbm, c, mu1, mu2, KS, True, precision=PREC)
+        p1, p2, rb = fe.plan_bins(HW, HW, KS)
+        phi = fe.build_phi(w, mu1, mu2, p1, p2, rb, True,
+                           phase_span=KS // 2 + 1, precision=PREC)
+        dx = fe.fourier_input_grad(gyb, phi, KS, precision=PREC)
+        return keep(g, c) + jnp.sum(dx).astype(c.dtype) * 1e-30
+
+    def fused_withdx(c):
+        g, dx = fe.fourier_unit_grads_fused2(
+            xbm, c, mu1, mu2, KS, True, precision=PREC,
+            err_blur=gyb, w_units=w)
+        return keep(g, c) + jnp.sum(dx).astype(c.dtype) * 1e-30
+
+    for label, fn in (
+            ("unfused     ", lambda c: keep(fe.fourier_unit_grads(
+                xbm, c, mu1, mu2, KS, True, precision=PREC), c)),
+            ("fused       ", lambda c: keep(fe.fourier_unit_grads_fused2(
+                xbm, c, mu1, mu2, KS, True, precision=PREC), c)),
+            ("unfused+dx  ", unfused_withdx),
+            ("fused+dx    ", fused_withdx)):
+        t = time_chained(fn, err, 30)
         print(f"  {label} {t*1e3:8.3f} ms", flush=True)
 
 

@@ -80,23 +80,42 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
-                     a2_ref, out_ref, tre_buf, tim_buf, *, n_img: int,
-                     m_filt: int, rbb: int, k1_blk: int, g_units: int,
-                     hi_precision: bool):
-    """One (s_blk, f_blk, k1-chunk) grid step.
+def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
+                     g_units: int, hi_precision: bool, has_dx: bool):
+    """One (s_blk, k1-chunk, f_blk) grid step.
 
     xs_ref:  (kb_c, M, 2N, s_blk) input spectra (re/im stacked along 2N)
     es_ref:  (kb_c, 2N, f_blk)    error spectra [Ere; Eim]
+    esb_ref: (kb_c, 2N, f_blk)    blurred-error spectra (dx operand, has_dx)
+    wg_ref:  (G, s_blk, f_blk)    unit weights (has_dx)
     t1c/t1s: (p1_pad, nj)         axis-1 cos / sin tables (full; sliced by
                                   chunk in-kernel - a (k1_blk, nj) block
                                   would violate the (8,128) block rule)
     t2_ref:  (2*rb, nj)           axis-2 [cos; sin] table, rfft coef folded
     a1/a2:   (G, nj, s_blk, f_blk) bilinear one-hot exponent weights
-    out:     (M, G, s_blk, f_blk) f32, accumulated across k1 chunks. G sits
-             on an UNTILED dim so the per-unit loop can index it dynamically
-             (no sublane-alignment proof needed).
-    scratch: tre/tim (kb_c, M*s_blk, f_blk)
+    out:     (1, M, G, s_blk, f_blk) f32 per-k1-chunk PARTIAL (summed by the
+             caller): each grid step owns a distinct block, so the dx output
+             can take the consecutive-revisit slot of the fj dim instead. G
+             sits on an UNTILED dim so the per-unit loop can index it
+             dynamically (no sublane-alignment proof needed).
+    out2:    (kb_c, 2N, s_blk) f32 input-grad spectra [dXre; dXim] (has_dx),
+             accumulated across the fj grid dim (innermost => the revisits
+             are consecutive and the block stays VMEM-resident).
+    scratch: tre/tim (kb_c, M*s_blk, f_blk);
+             phwr/phwi (kb_c, s_blk, f_blk) f32 sum_g w*phi (has_dx).
+
+    MEASURED NEGATIVE (round 3, v5e): lane-stacking [tre | tim] into one
+    scratch (one dot per (k-group, m) against a concatenated
+    [E | rotated-E] rhs, and a [phire | -phiim] concat in the gather)
+    REGRESSED conv4 0.84 -> 1.76 ms: the in-kernel concats are real VMEM
+    copies (~20 MB/unit/step for the phi pair) and cost far more than the
+    halved dot dispatches save. Operands are therefore kept separate and
+    read in place everywhere below.
+
+    has_dx additionally emits the INPUT-GRADIENT spectra from the same
+    in-VMEM phase factors: dX[k,n,s] = sum_{g,f} conj(phiU)*w * Eblur[k,n,f]
+    - the phase build (the dominant gather cost) is amortized over both
+    outputs, and the dx path needs no HBM phi table at all.
 
     The per-unit gather loop is Python-unrolled for G <= 2 (static loads,
     the measured round-2 configuration) and a lax.fori_loop with
@@ -105,12 +124,21 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
     was OOM-killed at G=4 (the AlexNet-DAU-large shape) - the fori body
     keeps the IR constant in G.
     """
-    kc = pl.program_id(2)
+    if has_dx:
+        (xs_ref, es_ref, esb_ref, wg_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
+         a2_ref, out_ref, out2_ref, tre_buf, tim_buf, phwr_buf,
+         phwi_buf) = refs
+    else:
+        (xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
+         out_ref, tre_buf, tim_buf) = refs
+    kc = pl.program_id(1)
+    fj = pl.program_id(2)
     s_blk = a1_ref.shape[2]
     f_blk = a1_ref.shape[3]
     kb_c = k1_blk * rbb
     cdt = xs_ref.dtype
     dnb = (((1,), (1,)), ((0,), (0,)))
+    dnf = (((2,), (2,)), ((0,), (0,)))
     dn1 = (((1,), (0,)), ((), ()))
     # Mosaic's f32 dot_general defaults to a truncated-precision pass:
     # without HIGHEST, the compiled kernel's gradients came out with
@@ -149,6 +177,7 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
         # start kc * k1_blk is provably sublane-aligned
         t1c = t1c_ref[pl.ds(kc * k1_blk, k1_blk)]
         t1s = t1s_ref[pl.ds(kc * k1_blk, k1_blk)]
+
     def gather_unit(gi):
         a1g = a1_ref[gi]                          # (nj, s_blk, f_blk)
         a2g = a2_ref[gi]
@@ -162,19 +191,32 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
                  ).reshape(kb_c, s_blk, f_blk)
         phiim = (pyre[:, None] * pxim[None] + pyim[:, None] * pxre[None]
                  ).reshape(kb_c, s_blk, f_blk)
+        if has_dx:
+            wgi = wg_ref[gi].astype(jnp.float32)  # (s_blk, f_blk)
+            pr = phire * wgi[None]
+            pi = phiim * wgi[None]
+            if isinstance(gi, int):               # unrolled path: static
+                if gi == 0:
+                    phwr_buf[...] = pr
+                    phwi_buf[...] = pi
+                else:
+                    phwr_buf[...] = phwr_buf[...] + pr
+                    phwi_buf[...] = phwi_buf[...] + pi
+            else:
+                @pl.when(gi == 0)
+                def _():
+                    phwr_buf[...] = pr
+                    phwi_buf[...] = pi
+
+                @pl.when(gi > 0)
+                def _():
+                    phwr_buf[...] = phwr_buf[...] + pr
+                    phwi_buf[...] = phwi_buf[...] + pi
         for mi in range(m_filt):
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
             z = (phire * tre_buf[:, sl].astype(jnp.float32)
                  - phiim * tim_buf[:, sl].astype(jnp.float32))
-            red = dot(ones, z, dn1)[0]
-
-            @pl.when(kc == 0)
-            def _(mi=mi, gi=gi, red=red):
-                out_ref[mi, gi] = red
-
-            @pl.when(kc > 0)
-            def _(mi=mi, gi=gi, red=red):
-                out_ref[mi, gi] = out_ref[mi, gi] + red
+            out_ref[0, mi, gi] = dot(ones, z, dn1)[0]
 
     if g_units <= 2:
         for gi in range(g_units):
@@ -186,12 +228,40 @@ def _kernel_spectral(xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
 
         jax.lax.fori_loop(0, g_units, g_body, 0, unroll=False)
 
+    if has_dx:
+        # input-grad spectra from the g-summed conj(phi)*w factors:
+        #   dX = (phw_re - i phw_im) (Ebre + i Ebim), contracted over f.
+        # Two dots per k-group (no concatenated operand - see the measured
+        # negative above): o1 = Eb @ phw_re^T rows [Ebre@re; Ebim@re],
+        # o2 = Eb @ phw_im^T; then dXre = o1[:n] + o2[n:],
+        # dXim = o1[n:] - o2[:n].
+        def dx_body(i, carry):
+            k0 = i * rbb
+            ebg = esb_ref[pl.ds(k0, rbb)].astype(jnp.float32)
+            o1 = dot(ebg, phwr_buf[pl.ds(k0, rbb)], dnf)  # (rb, 2N, s_blk)
+            o2 = dot(ebg, phwi_buf[pl.ds(k0, rbb)], dnf)
+            v = jnp.concatenate(
+                [o1[:, :n_img] + o2[:, n_img:],
+                 o1[:, n_img:] - o2[:, :n_img]], axis=1)  # (rb, 2N, s_blk)
+
+            @pl.when(fj == 0)
+            def _():
+                out2_ref[pl.ds(k0, rbb)] = v
+
+            @pl.when(fj > 0)
+            def _():
+                out2_ref[pl.ds(k0, rbb)] = out2_ref[pl.ds(k0, rbb)] + v
+            return carry
+
+        jax.lax.fori_loop(0, k1_blk, dx_body, 0, unroll=False)
+
 
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                               p1b: int, rbb: int,
+                              esb=None, wg=None,
                               interpret: bool | None = None,
                               vmem_budget: int = 100 * 1024 * 1024):
-    """Invoke the v2 fused backward kernel (spectral in-kernel gather).
+    """Invoke the fused backward kernel (spectral in-kernel gather).
 
     Args:
       xs: (B, M, 2N, S) blurred-input spectra, B = P1*rb bin-major.
@@ -200,12 +270,22 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
       t2: (2*rb, nj) axis-2 table with the rfft conjugate-half coefficient
         and 1/(P1*P2) folded in.
       a1, a2: (nj, G, S, F) bilinear one-hot exponent weights (from mu1/mu2).
+      esb: optional (B, 2N, F) spectra of the mirror-BLURRED error; when
+        given (with wg) the kernel also emits the input-gradient spectra
+        from the same in-VMEM phase factors.
+      wg: (G, S, F) unit weights (dummy-masked), required with esb.
 
-    Returns: (M, S, G, F) float32 unit gradients.
+    Returns: (M, S, G, F) float32 unit gradients; with esb, a tuple
+    (grads, dx_spectra) where dx_spectra is (B, 2N, S) float32 [dXre; dXim]
+    (the caller applies the RAW partial iDFT: the rfft coefficient is
+    already folded into the kernel's t2 table).
     """
     b, m, n2, s = xs.shape
     f = es.shape[2]
     nj, g = a1.shape[0], a1.shape[1]
+    has_dx = esb is not None
+    if has_dx and wg is None:
+        raise ValueError("esb requires wg")
     if b != p1b * rbb:
         raise ValueError(f"B={b} != P1*rb={p1b * rbb}")
     if interpret is None:
@@ -240,7 +320,12 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         z_b = 2 * kb_c * s_blk * f_blk * 4
         py_b = 2 * (k1_blk + rbb) * s_blk * f_blk * 4
         a_b = 4 * nj * g * s_blk * f_blk * itemsize
-        return xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
+        total = xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
+        if has_dx:
+            total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
+            total += 2 * kb_c * s_blk * f_blk * 4       # phw scratch
+            total += kb_c * n2 * s_blk * 4              # dx out block
+        return total
 
     budget = vmem_budget
     k1_blk = None
@@ -272,52 +357,93 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         pad_bins = (p1p - p1b) * rbb
         xs = jnp.pad(xs, ((0, pad_bins), (0, 0), (0, 0), (0, 0)))
         es = jnp.pad(es, ((0, pad_bins), (0, 0), (0, 0)))
+        if has_dx:
+            esb = jnp.pad(esb, ((0, pad_bins), (0, 0), (0, 0)))
     t1c = t1[:p1b]
     t1s = t1[p1b:]
     if p1p != p1b:
         t1c = jnp.pad(t1c, ((0, p1p - p1b), (0, 0)))
         t1s = jnp.pad(t1s, ((0, p1p - p1b), (0, 0)))
 
-    grid = (s // s_blk, f // f_blk, n_k1)
+    # grid order (si, kc, fj): fj innermost so the dx-spectra output block
+    # (indexed by kc, si only) sees CONSECUTIVE revisits and stays
+    # VMEM-resident across its accumulation; the grads output instead takes
+    # a per-kc partial dim (written once per step, summed by the caller:
+    # n_k1 * M*G*S*F * 4 bytes of extra traffic, negligible next to the
+    # dx-partials alternative).
+    grid = (s // s_blk, n_k1, f // f_blk)
     kern = functools.partial(
         _kernel_spectral, n_img=n_img, m_filt=m, rbb=rbb, k1_blk=k1_blk,
-        g_units=g, hi_precision=(jnp.dtype(xs.dtype) == jnp.float32))
+        g_units=g, hi_precision=(jnp.dtype(xs.dtype) == jnp.float32),
+        has_dx=has_dx)
     kb_c = k1_blk * rbb
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((kb_c, m, n2, s_blk),
+                     lambda si, kc, fj: (kc, 0, 0, si),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb_c, n2, f_blk), lambda si, kc, fj: (kc, 0, fj),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xs, es.astype(xs.dtype)]
+    if has_dx:
+        in_specs += [
+            pl.BlockSpec((kb_c, n2, f_blk), lambda si, kc, fj: (kc, 0, fj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_blk, f_blk), lambda si, kc, fj: (0, si, fj),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [esb.astype(xs.dtype), wg.astype(xs.dtype)]
+    in_specs += [
+        pl.BlockSpec((p1p, nj), lambda si, kc, fj: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p1p, nj), lambda si, kc, fj: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * rbb, nj), lambda si, kc, fj: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nj, s_blk, f_blk),
+                     lambda si, kc, fj: (0, 0, si, fj),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nj, s_blk, f_blk),
+                     lambda si, kc, fj: (0, 0, si, fj),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [t1c.astype(xs.dtype), t1s.astype(xs.dtype),
+                 t2.astype(xs.dtype), a1.astype(xs.dtype),
+                 a2.astype(xs.dtype)]
+    out_specs = pl.BlockSpec((1, m, g, s_blk, f_blk),
+                             lambda si, kc, fj: (kc, 0, 0, si, fj),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_k1, m, g, s, f), jnp.float32)
+    if has_dx:
+        out_specs = [out_specs,
+                     pl.BlockSpec((kb_c, n2, s_blk),
+                                  lambda si, kc, fj: (kc, 0, si),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((p1p * rbb, n2, s), jnp.float32)]
+    scratch_shapes = [pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
+                      pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype)]
+    if has_dx:
+        scratch_shapes += [pltpu.VMEM((kb_c, s_blk, f_blk), jnp.float32),
+                           pltpu.VMEM((kb_c, s_blk, f_blk), jnp.float32)]
+    res = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((kb_c, m, n2, s_blk),
-                         lambda si, fj, kc: (kc, 0, 0, si),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb_c, n2, f_blk), lambda si, fj, kc: (kc, 0, fj),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * rbb, nj), lambda si, fj, kc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nj, s_blk, f_blk),
-                         lambda si, fj, kc: (0, 0, si, fj),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nj, s_blk, f_blk),
-                         lambda si, fj, kc: (0, 0, si, fj),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m, g, s_blk, f_blk),
-                               lambda si, fj, kc: (0, 0, si, fj),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, g, s, f), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
-            pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=124 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(xs, es.astype(xs.dtype), t1c.astype(xs.dtype), t1s.astype(xs.dtype),
-      t2.astype(xs.dtype), a1.astype(xs.dtype), a2.astype(xs.dtype))
-    return jnp.transpose(out, (0, 2, 1, 3))       # -> (M, S, G, F)
+    )(*operands)
+    if has_dx:
+        out, dxs = res
+    else:
+        out = res
+    grads = jnp.transpose(out.sum(axis=0), (0, 2, 1, 3))   # -> (M, S, G, F)
+    if has_dx:
+        return grads, dxs[:b]
+    return grads

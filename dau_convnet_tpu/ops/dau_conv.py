@@ -93,6 +93,13 @@ class DAUConvSettings:
     # trace-time env reads bake silently into cached executables
     # (round-2 advisory).
     fused_bwd: str = "auto"
+    # Emit the input gradient from the SAME fused backward kernel invocation
+    # (the unit phase factors already live in VMEM there; requires
+    # use_interpolation): 'auto' = whenever the fused backward runs,
+    # 'off' = keep the stashed-phi conj(Phi) dx path. Measured: the dx
+    # marginal in-kernel vs the unfused dx-apply is shape-dependent
+    # (PERF_NOTES round-3 table) - the step picks per-layer via this knob.
+    fused_dx: str = "auto"
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0
@@ -108,6 +115,8 @@ class DAUConvSettings:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.fused_bwd not in ("auto", "on", "off"):
             raise ValueError(f"unknown fused_bwd {self.fused_bwd!r}")
+        if self.fused_dx not in ("auto", "off"):
+            raise ValueError(f"unknown fused_dx {self.fused_dx!r}")
         if self.engine == "auto":
             # measured basis: PERF_NOTES.md per-layer table (fourier wins all
             # bf16 model shapes); the f32-HIGHEST layer record is the dense
@@ -352,22 +361,14 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     # ---- input gradient: the forward engine applied to the error with
     # S<->F transposed params, negated offsets, and the mirrored blur filter
     # (reference base_dau_conv_layer.cu:294-325). The fourier engine needs no
-    # transposed pass: it reuses the forward Phi conjugated. (Only with
-    # interpolation: the 2 bilinear taps of -mu mirror those of mu exactly,
-    # but the single floor-tap of interp-off does not - floor(-mu) != -floor(mu).)
-    if cfg.engine == "fourier" and phi is not None and cfg.use_interpolation:
-        from . import fourier_engine
-        gy_blur = _blur(cfg, gy, sigma_value, "error")
-        dx = fourier_engine.fourier_input_grad(
-            gy_blur, phi, cfg.synth_kernel_size, precision=cfg.lax_precision)
-    else:
-        dx = _blur_and_aggregate(
-            cfg, gy, sigma_value,
-            jnp.transpose(w3m, (2, 1, 0)),
-            -jnp.transpose(mu13, (2, 1, 0)),
-            -jnp.transpose(mu23, (2, 1, 0)),
-            blur_name="error",
-        )
+    # transposed pass: it reuses the forward Phi conjugated - and on the
+    # fused-kernel path dx is emitted by the SAME kernel as the unit grads
+    # (see below), so it is deferred. (Only with interpolation: the 2
+    # bilinear taps of -mu mirror those of mu exactly, but the single
+    # floor-tap of interp-off does not - floor(-mu) != -floor(mu).)
+    dx = None
+    fourier_dx_ok = (cfg.engine == "fourier" and phi is not None
+                     and cfg.use_interpolation)
 
     # ---- parameter gradients: blur x with the derivative filters, build the
     # position table (conv-backward-filter), tap-gather per unit
@@ -423,9 +424,20 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                          else True))
         if fused_ok:
             try:
-                grads = fourier_engine.fourier_unit_grads_fused2(
-                    xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
-                    cfg.use_interpolation, precision=cfg.lax_precision)
+                if fourier_dx_ok and cfg.fused_dx == "auto":
+                    # dx from the same kernel: the in-VMEM phase factors
+                    # serve both the unit-grad gather and the input-grad
+                    # f-contraction (no HBM phi read for dx at all)
+                    gy_blur = _blur(cfg, gy, sigma_value, "error")
+                    grads, dx = fourier_engine.fourier_unit_grads_fused2(
+                        xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
+                        cfg.use_interpolation, precision=cfg.lax_precision,
+                        err_blur=gy_blur, w_units=w3m.astype(xb.dtype))
+                    dx = dx.astype(x.dtype)
+                else:
+                    grads = fourier_engine.fourier_unit_grads_fused2(
+                        xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
+                        cfg.use_interpolation, precision=cfg.lax_precision)
             except FusedPlanError:  # no VMEM plan for this shape
                 grads = None
         if grads is None:
@@ -437,6 +449,22 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                                        precision=cfg.lax_precision)
         grads = xla_engine.tap_gather(table, mu13, mu23, cfg.synth_kernel_size,
                                       cfg.use_interpolation)  # (M, S, G, F)
+
+    if dx is None:
+        if fourier_dx_ok:
+            from . import fourier_engine
+            gy_blur = _blur(cfg, gy, sigma_value, "error")
+            dx = fourier_engine.fourier_input_grad(
+                gy_blur, phi, cfg.synth_kernel_size,
+                precision=cfg.lax_precision)
+        else:
+            dx = _blur_and_aggregate(
+                cfg, gy, sigma_value,
+                jnp.transpose(w3m, (2, 1, 0)),
+                -jnp.transpose(mu13, (2, 1, 0)),
+                -jnp.transpose(mu23, (2, 1, 0)),
+                blur_name="error",
+            )
 
     lr = jnp.asarray(cfg.mu_learning_rate_factor, grads.dtype)
     dw = grads[0]

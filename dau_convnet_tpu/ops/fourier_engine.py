@@ -83,13 +83,16 @@ def _dft_mats(n_in: int, p: int, nbins: int, dtype):
     return jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype)
 
 
-def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype):
+def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype,
+               apply_coef: bool = True):
     """Partial inverse-rDFT matrices evaluating the real inverse transform at
     row indices `out1` and column indices `out2` (may be negative: circular).
 
     Returns (C, S) with shape (p1*rb, len(out1)*len(out2)) such that
     y = (Xre @ C - Xim @ S) recovers the real inverse at those positions,
-    including the rfft conjugate-half weighting."""
+    including the rfft conjugate-half weighting. apply_coef=False omits the
+    w2/(P1*P2) coefficient (for spectra that already carry it, e.g. the
+    fused kernel's dx output whose phase tables fold it in)."""
     k1 = np.arange(p1)
     k2 = np.arange(rb)
     w2 = np.full(rb, 2.0)
@@ -101,7 +104,10 @@ def _idft_mats(p1: int, p2: int, rb: int, out1, out2, dtype):
     ang1 = 2.0 * np.pi * k1[:, None, None, None] * o1[None, None, :, :] / p1
     ang2 = 2.0 * np.pi * k2[None, :, None, None] * o2[None, None, :, :] / p2
     ang = ang1 + ang2  # (p1, rb, len1, len2)
-    coef = w2[None, :, None, None] / (p1 * p2)
+    if apply_coef:
+        coef = w2[None, :, None, None] / (p1 * p2)
+    else:
+        coef = 1.0
     cmat = (np.cos(ang) * coef).reshape(p1 * rb, len(out1) * len(out2))
     smat = (np.sin(ang) * coef).reshape(p1 * rb, len(out1) * len(out2))
     return jnp.asarray(cmat, dtype), jnp.asarray(smat, dtype)
@@ -305,17 +311,24 @@ def fourier_apply_phi(x_blur, phire, phiim, h, w_sp, p1, p2, rb, precision,
             yre, yim = _bin_matmul(xre_t, xim_t, phire, phiim, precision,
                                    conj_b=conj_phi, contract=(2, 1),
                                    out_dtype=jnp.float32)
-    cout = yre.shape[-1]
+    return _spectra_to_image(yre, yim, p1, p2, rb, h, w_sp,
+                             precision).astype(dtype)
+
+
+def _spectra_to_image(yre, yim, p1, p2, rb, h, w_sp, precision,
+                      apply_coef: bool = True):
+    """Partial inverse rDFT of per-bin spectra (B, N, C) -> (N, C, H, W)
+    float32: out[n,c,ij] = sum_k yre[k,n,c] C[k,ij] - yim[k,n,c] S[k,ij]."""
+    n, cout = yre.shape[1], yre.shape[2]
     cmat, smat = _idft_mats(p1, p2, rb, np.arange(h), np.arange(w_sp),
-                            jnp.float32)
-    # out[n,c,ij] = sum_k yre[k,n,c] C[k,ij] - yim[k,n,c] S[k,ij]
+                            jnp.float32, apply_coef=apply_coef)
     out = (jax.lax.dot_general(jnp.transpose(yre, (1, 2, 0)).reshape(-1, p1 * rb),
                                cmat, (((1,), (0,)), ((), ())),
                                precision=precision)
            - jax.lax.dot_general(jnp.transpose(yim, (1, 2, 0)).reshape(-1, p1 * rb),
                                  smat, (((1,), (0,)), ((), ())),
                                  precision=precision))
-    return out.reshape(n, cout, h, w_sp).astype(dtype)
+    return out.reshape(n, cout, h, w_sp)
 
 
 def fourier_forward(x_blur, w, mu1, mu2, ks: int,
@@ -457,18 +470,28 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
 
 def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                               use_interpolation: bool = True,
-                              precision=jax.lax.Precision.DEFAULT):
+                              precision=jax.lax.Precision.DEFAULT,
+                              err_blur=None, w_units=None):
     """`fourier_unit_grads` with the cross-spectra AND the spectral
-    tap-gather fused in one Pallas kernel (kernels/fused_bwd.py v2): the
+    tap-gather fused in one Pallas kernel (kernels/fused_bwd.py): the
     cross-spectra never touch HBM, the unit phase factors are built
     in-kernel from integer tables, and the bin reduction is a ones-row
     MXU dot. Same contract: (M, S, G, F) float32.
+
+    err_blur + w_units additionally fuse the INPUT GRADIENT into the same
+    kernel invocation (the unit phase factors are already in VMEM for the
+    gather; dx costs one extra f-contraction per step instead of a separate
+    HBM phi read + per-bin matmul chain):
+      err_blur: (N, F, H, W) mirror-blurred error (the dx operand).
+      w_units: (S, G, F) dummy-masked unit weights.
+    Returns (grads, dx) with dx (N, S, H, W) float32.
     """
     from ..kernels.fused_bwd import fused_spectral_grads_call
 
     m, n, s, h, wd = x_blur_k.shape
     p1, p2, rb = plan_bins(h, wd, ks)
     span = ks // 2 + 1
+    with_dx = err_blur is not None
 
     xre, xim = _rdft2(x_blur_k, p1, p2, rb, precision)       # (M,N,S,B)
     xs = jnp.concatenate([xre, xim], axis=1)                 # (M,2N,S,B)
@@ -476,6 +499,11 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
     ere, eim = _rdft2(err, p1, p2, rb, precision)            # (N,F,B)
     es = jnp.concatenate([ere, eim], axis=0)                 # (2N,F,B)
     es = jnp.transpose(es, (2, 0, 1))                        # (B,2N,F)
+    esb = wg = None
+    if with_dx:
+        ebre, ebim = _rdft2(err_blur, p1, p2, rb, precision)
+        esb = jnp.transpose(jnp.concatenate([ebre, ebim], axis=0), (2, 0, 1))
+        wg = jnp.transpose(w_units, (1, 0, 2))               # (G,S,F)
 
     t1 = jnp.asarray(_phase_table_host(p1, p1, span), jnp.float32)
     w2 = np.full(rb, 2.0)
@@ -488,9 +516,17 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                        (0, 2, 1, 3))                         # (nj,G,S,F)
     a2 = jnp.transpose(_phase_onehot(mu2, span, use_interpolation),
                        (0, 2, 1, 3))
-    return fused_spectral_grads_call(
+    res = fused_spectral_grads_call(
         xs.astype(x_blur_k.dtype), es.astype(x_blur_k.dtype), t1, t2, a1, a2,
-        n_img=n, p1b=p1, rbb=rb)
+        n_img=n, p1b=p1, rbb=rb, esb=esb, wg=wg)
+    if not with_dx:
+        return res
+    grads, dxs = res
+    # dx spectra rows are [dXre; dXim]; the kernel's t2 already carries the
+    # rfft coefficient, so the closing partial iDFT is RAW (apply_coef=False)
+    dx = _spectra_to_image(dxs[:, :n], dxs[:, n:], p1, p2, rb, h, wd,
+                           precision, apply_coef=False)
+    return grads, dx
 
 
 def fourier_grad_tables(x_blur_k, err, ks: int,

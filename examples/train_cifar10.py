@@ -32,9 +32,19 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import sys
 import time
 
 import numpy as np
+
+if "--device" in sys.argv:
+    _dev = sys.argv[sys.argv.index("--device") + 1]
+    if _dev == "cpu":
+        # must run before the first backend use; the axon sitecustomize
+        # overrides JAX_PLATFORMS, so force it via jax.config
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +147,8 @@ def main():
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval on the test split every N steps (0 = only at end)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", choices=["default", "cpu"], default="default",
+                    help="cpu forces the CPU backend (handled pre-import)")
     ap.add_argument("--auto-tier", action="store_true",
                     help="pick static_max_offset from live offsets and re-jit "
                          "when the tier grows (the reference's dynamic "

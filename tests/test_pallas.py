@@ -182,6 +182,61 @@ class TestFusedSpectralBackward:
     def test_g1(self):
         self._case(16, 24, 13, G=1)
 
+    def _case_dx(self, S, F, HW, G=2, vmem_budget=None):
+        """Fused dx emission: grads AND the input-grad from one kernel
+        invocation, vs the unfused conj(Phi) path."""
+        import dau_convnet_tpu.ops.fourier_engine as fe
+
+        N, KS = 3, 9
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((N, S, HW, HW)), jnp.float32)
+        err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), jnp.float32)
+        gyb = jnp.asarray(rng.standard_normal((N, F, HW, HW)), jnp.float32)
+        mu1 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        mu2 = jnp.asarray(rng.uniform(-3, 3, (S, G, F)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((S, G, F)) * 0.1, jnp.float32)
+        xbm = jnp.stack([x, x * 0.5, -x])
+        hi = jax.lax.Precision.HIGHEST
+        g_ref = fe.fourier_unit_grads(xbm, err, mu1, mu2, KS, True,
+                                      precision=hi)
+        p1, p2, rb = fe.plan_bins(HW, HW, KS)
+        phi = fe.build_phi(w, mu1, mu2, p1, p2, rb, True,
+                           phase_span=KS // 2 + 1, precision=hi)
+        dx_ref = fe.fourier_input_grad(gyb, phi, KS, precision=hi)
+        kwargs = {} if vmem_budget is None else {"vmem_budget": vmem_budget}
+        if vmem_budget is not None:
+            import functools
+            import dau_convnet_tpu.kernels.fused_bwd as fb
+            orig = fb.fused_spectral_grads_call
+            fb.fused_spectral_grads_call = functools.partial(orig, **kwargs)
+            try:
+                got, dx = fe.fourier_unit_grads_fused2(
+                    xbm, err, mu1, mu2, KS, True, precision=hi,
+                    err_blur=gyb, w_units=w)
+            finally:
+                fb.fused_spectral_grads_call = orig
+        else:
+            got, dx = fe.fourier_unit_grads_fused2(
+                xbm, err, mu1, mu2, KS, True, precision=hi,
+                err_blur=gyb, w_units=w)
+        grel = float(jnp.max(jnp.abs(g_ref - got))
+                     / (jnp.max(jnp.abs(g_ref)) + 1e-9))
+        drel = float(jnp.max(jnp.abs(dx_ref - dx))
+                     / (jnp.max(jnp.abs(dx_ref)) + 1e-9))
+        assert grel < 1e-4, grel
+        assert drel < 1e-4, drel
+
+    def test_dx_fused(self):
+        self._case_dx(16, 24, 13)
+
+    def test_dx_fused_g4(self):
+        self._case_dx(16, 24, 13, G=4)
+
+    def test_dx_fused_chunked(self):
+        # n_k1 > 1: the dx output accumulates over the fj grid dim while
+        # bins are chunked over kc (the partial-grads layout)
+        self._case_dx(24, 32, 27, vmem_budget=12 * 1024 * 1024)
+
 
 class TestFusedForward:
     """Fused fwd/dx kernel (kernels/fused_fwd.py) in interpret mode vs the
