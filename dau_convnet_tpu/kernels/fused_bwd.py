@@ -100,9 +100,11 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
              dynamically (no sublane-alignment proof needed).
     out2:    (kb_c, 2N, s_blk) f32 input-grad spectra [dXre; dXim] (has_dx),
              accumulated across the fj grid dim (innermost => the revisits
-             are consecutive and the block stays VMEM-resident).
-    scratch: tre/tim (kb_c, M*s_blk, f_blk);
-             phwr/phwi (kb_c, s_blk, f_blk) f32 sum_g w*phi (has_dx).
+             are consecutive and the block stays VMEM-resident) AND across
+             the per-unit loop (directly: a g-summed (kb_c, s_blk, f_blk)
+             w*phi scratch pair would cost 2x10 MB of f32 VMEM, which
+             pushed conv4 off the single-chunk plan into 27 grid steps).
+    scratch: tre/tim (kb_c, M*s_blk, f_blk).
 
     MEASURED NEGATIVE (round 3, v5e): lane-stacking [tre | tim] into one
     scratch (one dot per (k-group, m) against a concatenated
@@ -126,8 +128,7 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
     """
     if has_dx:
         (xs_ref, es_ref, esb_ref, wg_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
-         a2_ref, out_ref, out2_ref, tre_buf, tim_buf, phwr_buf,
-         phwi_buf) = refs
+         a2_ref, out_ref, out2_ref, tre_buf, tim_buf) = refs
     else:
         (xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
          out_ref, tre_buf, tim_buf) = refs
@@ -192,26 +193,49 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
         phiim = (pyre[:, None] * pxim[None] + pyim[:, None] * pxre[None]
                  ).reshape(kb_c, s_blk, f_blk)
         if has_dx:
+            # input-grad spectra from THIS unit's conj(phi)*w factor,
+            # accumulated straight into out2:
+            #   dX += w*(phi_re - i phi_im) (Ebre + i Ebim), f-contracted.
+            # Per k-group: o1 = Eb @ (w*phi_re)^T, o2 = Eb @ (w*phi_im)^T;
+            # dXre = o1[:n] + o2[n:], dXim = o1[n:] - o2[:n]. The w*phi
+            # products are built per k-group (rbb rows, ~0.6 MB temps)
+            # so no kb_c-sized scratch is ever materialized.
             wgi = wg_ref[gi].astype(jnp.float32)  # (s_blk, f_blk)
-            pr = phire * wgi[None]
-            pi = phiim * wgi[None]
-            if isinstance(gi, int):               # unrolled path: static
-                if gi == 0:
-                    phwr_buf[...] = pr
-                    phwi_buf[...] = pi
-                else:
-                    phwr_buf[...] = phwr_buf[...] + pr
-                    phwi_buf[...] = phwi_buf[...] + pi
-            else:
-                @pl.when(gi == 0)
-                def _():
-                    phwr_buf[...] = pr
-                    phwi_buf[...] = pi
+            static_g = gi if isinstance(gi, int) else None
 
-                @pl.when(gi > 0)
-                def _():
-                    phwr_buf[...] = phwr_buf[...] + pr
-                    phwi_buf[...] = phwi_buf[...] + pi
+            def dx_body(i, carry):
+                k0 = i * rbb
+                ebg = esb_ref[pl.ds(k0, rbb)].astype(jnp.float32)
+                prg = jax.lax.dynamic_slice_in_dim(phire, k0, rbb, 0) * wgi[None]
+                pig = jax.lax.dynamic_slice_in_dim(phiim, k0, rbb, 0) * wgi[None]
+                o1 = dot(ebg, prg, dnf)           # (rbb, 2N, s_blk)
+                o2 = dot(ebg, pig, dnf)
+                v = jnp.concatenate(
+                    [o1[:, :n_img] + o2[:, n_img:],
+                     o1[:, n_img:] - o2[:, :n_img]], axis=1)
+                if static_g == 0:
+                    @pl.when(fj == 0)
+                    def _():
+                        out2_ref[pl.ds(k0, rbb)] = v
+
+                    @pl.when(fj > 0)
+                    def _():
+                        out2_ref[pl.ds(k0, rbb)] = out2_ref[pl.ds(k0, rbb)] + v
+                elif static_g is not None:        # unrolled, later unit
+                    out2_ref[pl.ds(k0, rbb)] = out2_ref[pl.ds(k0, rbb)] + v
+                else:                             # fori path: traced gi
+                    init = (fj == 0) & (gi == 0)
+
+                    @pl.when(init)
+                    def _():
+                        out2_ref[pl.ds(k0, rbb)] = v
+
+                    @pl.when(jnp.logical_not(init))
+                    def _():
+                        out2_ref[pl.ds(k0, rbb)] = out2_ref[pl.ds(k0, rbb)] + v
+                return carry
+
+            jax.lax.fori_loop(0, k1_blk, dx_body, 0, unroll=False)
         for mi in range(m_filt):
             sl = slice(mi * s_blk, (mi + 1) * s_blk)
             z = (phire * tre_buf[:, sl].astype(jnp.float32)
@@ -228,39 +252,12 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
 
         jax.lax.fori_loop(0, g_units, g_body, 0, unroll=False)
 
-    if has_dx:
-        # input-grad spectra from the g-summed conj(phi)*w factors:
-        #   dX = (phw_re - i phw_im) (Ebre + i Ebim), contracted over f.
-        # Two dots per k-group (no concatenated operand - see the measured
-        # negative above): o1 = Eb @ phw_re^T rows [Ebre@re; Ebim@re],
-        # o2 = Eb @ phw_im^T; then dXre = o1[:n] + o2[n:],
-        # dXim = o1[n:] - o2[:n].
-        def dx_body(i, carry):
-            k0 = i * rbb
-            ebg = esb_ref[pl.ds(k0, rbb)].astype(jnp.float32)
-            o1 = dot(ebg, phwr_buf[pl.ds(k0, rbb)], dnf)  # (rb, 2N, s_blk)
-            o2 = dot(ebg, phwi_buf[pl.ds(k0, rbb)], dnf)
-            v = jnp.concatenate(
-                [o1[:, :n_img] + o2[:, n_img:],
-                 o1[:, n_img:] - o2[:, :n_img]], axis=1)  # (rb, 2N, s_blk)
-
-            @pl.when(fj == 0)
-            def _():
-                out2_ref[pl.ds(k0, rbb)] = v
-
-            @pl.when(fj > 0)
-            def _():
-                out2_ref[pl.ds(k0, rbb)] = out2_ref[pl.ds(k0, rbb)] + v
-            return carry
-
-        jax.lax.fori_loop(0, k1_blk, dx_body, 0, unroll=False)
-
 
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                               p1b: int, rbb: int,
                               esb=None, wg=None,
                               interpret: bool | None = None,
-                              vmem_budget: int = 100 * 1024 * 1024):
+                              vmem_budget: int | None = None):
     """Invoke the fused backward kernel (spectral in-kernel gather).
 
     Args:
@@ -323,10 +320,16 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         total = xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
         if has_dx:
             total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
-            total += 2 * kb_c * s_blk * f_blk * 4       # phw scratch
             total += kb_c * n2 * s_blk * 4              # dx out block
+            total += 4 * rbb * s_blk * f_blk * 4        # per-k-group w*phi
         return total
 
+    if vmem_budget is None:
+        # the dx outputs add ~10 MB at the model shapes; a 100 MB budget
+        # (25 MB Mosaic headroom under the 124 MB limit) pushed conv4 off
+        # the single-chunk plan into 27 grid steps (~12 us tunnel overhead
+        # each) - give the dx variant the measured-safe 112 MB instead
+        vmem_budget = (112 if has_dx else 100) * 1024 * 1024
     budget = vmem_budget
     k1_blk = None
     if footprint(p1b) <= budget:
@@ -423,9 +426,6 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                      jax.ShapeDtypeStruct((p1p * rbb, n2, s), jnp.float32)]
     scratch_shapes = [pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
                       pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype)]
-    if has_dx:
-        scratch_shapes += [pltpu.VMEM((kb_c, s_blk, f_blk), jnp.float32),
-                           pltpu.VMEM((kb_c, s_blk, f_blk), jnp.float32)]
     res = pl.pallas_call(
         kern,
         grid=grid,
