@@ -36,6 +36,13 @@ class DAUCifarNet(nn.Module):
     max_kernel_size: int = 9
     static_max_offset: tp.Optional[float] = None
     mu_learning_rate_factor: float = 500.0
+    # The reference example's batch-norm momentum (README.md:252) sized for
+    # ImageNet-scale step counts: its EMA horizon is ~1/(1-m) = 10k steps.
+    # Short runs MUST lower it or eval-mode collapses: DAU params never
+    # settle (mu grads are amplified x500), so the layer output statistics
+    # keep drifting and a 10k-step-stale running estimate ends up ~80x off
+    # the live batch variance (measured: docs/TRAINING_RESULTS.md).
+    bn_momentum: float = 0.9999
     dtype: tp.Any = jnp.float32
 
     @nn.compact
@@ -44,7 +51,7 @@ class DAUCifarNet(nn.Module):
 
         def norm(v):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9999,
+                use_running_average=not train, momentum=self.bn_momentum,
                 epsilon=0.001, axis=1, dtype=self.dtype)(v)
 
         for i, filters in enumerate((96, 96, 192)):
@@ -70,6 +77,7 @@ class ConvCifarNet(nn.Module):
 
     num_classes: int = 10
     train: bool = True
+    bn_momentum: float = 0.9999  # see DAUCifarNet.bn_momentum
     dtype: tp.Any = jnp.float32
 
     @nn.compact
@@ -80,7 +88,8 @@ class ConvCifarNet(nn.Module):
             y = nn.Conv(filters, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name=f"conv{i + 1}")(y)
             x = jnp.transpose(y, (0, 3, 1, 2))
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9999,
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
                              epsilon=0.001, axis=1, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = _max_pool_nchw(x)

@@ -14,7 +14,39 @@ import typing as tp
 
 import jax
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "save_params_npz", "load_params_npz"]
+
+
+def save_params_npz(path: str, **trees: tp.Any) -> None:
+    """Flatten named pytrees into one portable npz (keys are '/'-joined
+    paths rooted at the tree name, e.g. 'params/dau_conv1/mu1').
+
+    The portable-artifact analogue of the reference's gist-distributed
+    pretrained models (reference README.md:32-35): a plain npz that
+    `load_params_npz` + `set_dau_variables_manually` can re-install into
+    any freshly init'ed model."""
+    import numpy as np
+    flat = {}
+    for prefix, tree in trees.items():
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = prefix + "/" + "/".join(k.key for k in kp)
+            flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> tp.Dict[str, tp.Any]:
+    """Inverse of `save_params_npz`: returns {tree_name: nested dict}."""
+    import numpy as np
+    d = np.load(path)
+    trees: tp.Dict[str, tp.Any] = {}
+    for key in d.files:
+        parts = key.split("/")
+        node = trees.setdefault(parts[0], {})
+        for p in parts[1:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = d[key]
+    return trees
 
 
 def _manager(directory: str, max_to_keep: int = 3):

@@ -116,15 +116,11 @@ def load_data(args):
 
 
 def save_params_npz(path, params, batch_stats):
-    """Flatten the params/batch_stats pytrees into one npz (keys are
-    '/'-joined paths) - the recorded artifact that
-    `set_dau_variables_manually` can re-install (tests/test_models.py)."""
-    flat = {}
-    for prefix, tree in (("params", params), ("batch_stats", batch_stats)):
-        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            key = prefix + "/" + "/".join(k.key for k in kp)
-            flat[key] = np.asarray(leaf)
-    np.savez(path, **flat)
+    """Record the trained params/batch_stats as one npz - the artifact that
+    `load_params_npz` + `set_dau_variables_manually` re-install
+    (tests/test_models.py::test_recorded_digits_params_load)."""
+    from dau_convnet_tpu.utils.checkpoint import save_params_npz as _save
+    _save(path, params=params, batch_stats=batch_stats)
 
 
 def main():
@@ -146,6 +142,11 @@ def main():
                     help="host-side param guard + kernel-tier check interval")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval on the test split every N steps (0 = only at end)")
+    ap.add_argument("--bn-momentum", type=float, default=None,
+                    help="batch-norm EMA momentum; default scales the "
+                         "reference's 0.9999 (a ~10k-step horizon, "
+                         "README.md:252) down to the run length so eval-mode "
+                         "running stats can actually converge")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", choices=["default", "cpu"], default="default",
                     help="cpu forces the CPU backend (handled pre-import)")
@@ -158,12 +159,20 @@ def main():
     x_all, y_all, x_test, y_test = load_data(args)
     steps_per_epoch = max(1, len(x_all) // args.batch)
     total_steps = args.steps or args.epochs * steps_per_epoch
+    # EMA horizon ~= 1/(1-m): cap it at ~4% of the run so the running
+    # statistics track the (never-settling, mu_lr_factor-driven) DAU
+    # activations. The reference's own 0.9999 assumes ImageNet-scale runs;
+    # at 2750 digits steps it leaves running var ~80x stale and eval-mode
+    # accuracy at chance (docs/TRAINING_RESULTS.md).
+    bn_momentum = (args.bn_momentum if args.bn_momentum is not None
+                   else min(0.9999, max(0.9, 1.0 - 25.0 / total_steps)))
     if args.arch == "conv":
-        net = ConvCifarNet(train=True)
+        net = ConvCifarNet(train=True, bn_momentum=bn_momentum)
     else:
-        net = DAUCifarNet(train=True)
+        net = DAUCifarNet(train=True, bn_momentum=bn_momentum)
     print(f"arch={args.arch} train={len(x_all)} test={len(x_test)} "
-          f"steps={total_steps} ({steps_per_epoch}/epoch)", flush=True)
+          f"steps={total_steps} ({steps_per_epoch}/epoch) "
+          f"bn_momentum={bn_momentum:.4f}", flush=True)
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.asarray(x_all[:args.batch])
