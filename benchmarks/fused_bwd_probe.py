@@ -1,6 +1,7 @@
 """Fused Pallas backward vs unfused spectral gather, real TPU, bf16.
 
-Run: python benchmarks/fused_bwd_probe.py [--g 4] [conv2 conv3 conv4 conv5]
+Run: python benchmarks/fused_bwd_probe.py [--g 4] [--gather phi|factored]
+     [conv2 conv3 conv4 conv5]
 """
 
 import sys
@@ -17,9 +18,14 @@ from dau_convnet_tpu.ops import fourier_engine as fe  # noqa: E402
 
 DTYPE = jnp.bfloat16
 N, G, KS, M = 32, 2, 9, 3
+GATHER = "factored"
 if "--g" in sys.argv:
     i = sys.argv.index("--g")
     G = int(sys.argv[i + 1])
+    del sys.argv[i:i + 2]
+if "--gather" in sys.argv:
+    i = sys.argv.index("--gather")
+    GATHER = sys.argv[i + 1]
     del sys.argv[i:i + 2]
 PREC = jax.lax.Precision.DEFAULT
 SHAPES = {"conv2": (96, 256, 27), "conv3": (256, 384, 13),
@@ -43,7 +49,7 @@ def probe(name):
     a = jax.jit(lambda: fe.fourier_unit_grads(
         xbm, err, mu1, mu2, KS, True, precision=PREC))()
     b = jax.jit(lambda: fe.fourier_unit_grads_fused2(
-        xbm, err, mu1, mu2, KS, True, precision=PREC))()
+        xbm, err, mu1, mu2, KS, True, precision=PREC, gather=GATHER))()
     rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
     print(f"  v2 rel diff {rel:.2e}  (compile+run {time.time()-t0:.0f}s)",
           flush=True)
@@ -63,14 +69,15 @@ def probe(name):
     def fused_withdx(c):
         g, dx = fe.fourier_unit_grads_fused2(
             xbm, c, mu1, mu2, KS, True, precision=PREC,
-            err_blur=gyb, w_units=w)
+            err_blur=gyb, w_units=w, gather=GATHER)
         return keep(g, c) + jnp.sum(dx).astype(c.dtype) * 1e-30
 
     for label, fn in (
             ("unfused     ", lambda c: keep(fe.fourier_unit_grads(
                 xbm, c, mu1, mu2, KS, True, precision=PREC), c)),
             ("fused       ", lambda c: keep(fe.fourier_unit_grads_fused2(
-                xbm, c, mu1, mu2, KS, True, precision=PREC), c)),
+                xbm, c, mu1, mu2, KS, True, precision=PREC,
+                gather=GATHER), c)),
             ("unfused+dx  ", unfused_withdx),
             ("fused+dx    ", fused_withdx)):
         t = time_chained(fn, err, 30)
@@ -78,6 +85,6 @@ def probe(name):
 
 
 if __name__ == "__main__":
-    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"device: {jax.devices()[0]} gather={GATHER}", flush=True)
     for nm in (sys.argv[1:] or ["conv4"]):
         probe(nm)

@@ -128,7 +128,8 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
     """
     if has_dx:
         (xs_ref, es_ref, esb_ref, wg_ref, t1c_ref, t1s_ref, t2_ref, a1_ref,
-         a2_ref, out_ref, out2_ref, tre_buf, tim_buf) = refs
+         a2_ref, out_ref, out2_ref, tre_buf, tim_buf,
+         pyre_buf, pyim_buf) = refs
     else:
         (xs_ref, es_ref, t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
          out_ref, tre_buf, tim_buf) = refs
@@ -197,17 +198,27 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
             # accumulated straight into out2:
             #   dX += w*(phi_re - i phi_im) (Ebre + i Ebim), f-contracted.
             # Per k-group: o1 = Eb @ (w*phi_re)^T, o2 = Eb @ (w*phi_im)^T;
-            # dXre = o1[:n] + o2[n:], dXim = o1[n:] - o2[:n]. The w*phi
-            # products are built per k-group (rbb rows, ~0.6 MB temps)
-            # so no kb_c-sized scratch is ever materialized.
+            # dXre = o1[:n] + o2[n:], dXim = o1[n:] - o2[:n].
+            # A k-group is exactly one k1 row (k = k1*rb + k2), so the
+            # group's phi rows are rebuilt from that row's py factor and the
+            # (whole, static) px factors - Mosaic has NO dynamic_slice on
+            # VALUES, so slicing the pre-built phi by traced k0 does not
+            # lower; the py rows go through a small scratch ref instead
+            # (leading-dim ref slices are untiled and always legal). The
+            # rebuild costs 4 VPU FMA passes over the group (~0.5% of the
+            # dx dot's MACs).
             wgi = wg_ref[gi].astype(jnp.float32)  # (s_blk, f_blk)
             static_g = gi if isinstance(gi, int) else None
+            pyre_buf[...] = pyre
+            pyim_buf[...] = pyim
 
             def dx_body(i, carry):
                 k0 = i * rbb
                 ebg = esb_ref[pl.ds(k0, rbb)].astype(jnp.float32)
-                prg = jax.lax.dynamic_slice_in_dim(phire, k0, rbb, 0) * wgi[None]
-                pig = jax.lax.dynamic_slice_in_dim(phiim, k0, rbb, 0) * wgi[None]
+                pyr = pyre_buf[pl.ds(i, 1)]       # (1, s_blk, f_blk)
+                pyi = pyim_buf[pl.ds(i, 1)]
+                prg = (pyr * pxre - pyi * pxim) * wgi[None]
+                pig = (pyr * pxim + pyi * pxre) * wgi[None]
                 o1 = dot(ebg, prg, dnf)           # (rbb, 2N, s_blk)
                 o2 = dot(ebg, pig, dnf)
                 v = jnp.concatenate(
@@ -253,11 +264,414 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
         jax.lax.fori_loop(0, g_units, g_body, 0, unroll=False)
 
 
+# ---------------------------------------------------------------------------
+# v6: FACTORED spectral gather - contract the cross-spectra against the
+# integer-exponent tables once, combine per unit with its one-hot taps.
+#
+# The v2/v5 gather builds each unit's phase factor phiU over all B bins
+# (4 VPU merge passes + 2 z passes, each B*s_blk*f_blk, per unit per m):
+# VPU work scales with B*G and dominated the kernel at conv2 (B=496,
+# 0.94 vs 0.58 ms unfused). But phiU itself factors through the tables:
+#     phi_re[k] = sum_{j1,j2} t1c[k1,j1] t2c[k2,j2] a2[j1] a1[j2] - ...
+# so the bin reduction can be done ONCE against the tables, independent of
+# the units:
+#     P[k1,j2] = t2c^T Tre[k1,:] - t2s^T Tim[k1,:]     (k2 contraction)
+#     Q[k1,j2] = t2s^T Tre[k1,:] + t2c^T Tim[k1,:]
+#     E[j1,j2] = t1c^T P - t1s^T Q                      (k1 contraction)
+#     grad[g]  = sum_{j1,j2} a2[g,j1] a1[g,j2] E[j1,j2] (per-unit combine)
+# All bin-scaled work is now MXU dots of size ~B*nj (nj = ks+3), and the
+# per-unit work is nj^2 VPU passes - INDEPENDENT of B. The t2 table carries
+# the rfft conjugate-half coefficient and 1/(P1*P2), so E needs no closing
+# normalization.
+#
+# Grid is (si, fj, kc) with the chunk dim INNERMOST (the opposite of v5):
+# E accumulates across k1 chunks in scratch per (si, fj), and the dx output
+# block (full-B rows, indexed by si alone) accumulates across both fj and
+# kc - consecutive revisits either way.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_factored(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
+                     n_k1: int, g_units: int, hi_precision: bool,
+                     has_dx: bool):
+    """One (si, fj, kc) grid step of the factored-gather backward.
+
+    xs/es/esb/wg/out/out2/tre/tim: as in _kernel_spectral (but out has NO
+    per-chunk partial dim and out2 is the full-B block for this si).
+    t1cT/t1sT: (1, nj, k1_blk) pre-transposed, pre-chunked axis-1 tables
+      (blocked by kc; pad rows are zero).
+    t2cT/t2sT: (nj, rb) pre-transposed axis-2 tables (coef folded).
+    t1c/t1s (p1_pad, nj) + t2 (2rb, nj): only with has_dx (py/px factors).
+    p_buf/q_buf: (nj, k1_blk, s_blk, f_blk) per-m k2-contracted spectra.
+    e_buf: (m or 1, nj, nj, s_blk, f_blk) f32 E accumulator; single-chunk
+      plans keep only one m slot (combine runs inside the m loop).
+    """
+    if has_dx:
+        (xs_ref, es_ref, esb_ref, wg_ref, t1cT_ref, t1sT_ref, t2cT_ref,
+         t2sT_ref, t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
+         out_ref, out2_ref, tre_buf, tim_buf, p_buf, q_buf, e_buf,
+         pyre_buf, pyim_buf) = refs
+    else:
+        (xs_ref, es_ref, t1cT_ref, t1sT_ref, t2cT_ref, t2sT_ref,
+         a1_ref, a2_ref, out_ref, tre_buf, tim_buf, p_buf, q_buf,
+         e_buf) = refs
+    fj = pl.program_id(1)
+    kc = pl.program_id(2)
+    s_blk = a1_ref.shape[2]
+    kb_c = k1_blk * rbb
+    cdt = xs_ref.dtype
+    nj = t2cT_ref.shape[0]
+    dnb = (((1,), (1,)), ((0,), (0,)))
+    dn1 = (((1,), (0,)), ((), ()))
+    prec = (jax.lax.Precision.HIGHEST if hi_precision
+            else jax.lax.Precision.DEFAULT)
+
+    def dot(a, b, dn):
+        return jax.lax.dot_general(a, b, dn, precision=prec,
+                                   preferred_element_type=jnp.float32)
+
+    def cross_body(i, carry):
+        k0 = i * rbb
+        xsg = xs_ref[pl.ds(k0, rbb)]
+        esg = es_ref[pl.ds(k0, rbb)]
+        for mi in range(m_filt):
+            lhs = xsg[:, mi]
+            lhs_im = jnp.concatenate(
+                [lhs[:, n_img:], -lhs[:, :n_img]], axis=1)
+            sl = slice(mi * s_blk, (mi + 1) * s_blk)
+            tre_buf[pl.ds(k0, rbb), sl] = dot(lhs, esg, dnb).astype(cdt)
+            tim_buf[pl.ds(k0, rbb), sl] = dot(lhs_im, esg, dnb).astype(cdt)
+        return carry
+
+    jax.lax.fori_loop(0, k1_blk, cross_body, 0, unroll=False)
+
+    t1cT = t1cT_ref[0]                            # (nj, k1_blk)
+    t1sT = t1sT_ref[0]
+    t2cT = t2cT_ref[...]                          # (nj, rb)
+    t2sT = t2sT_ref[...]
+    single = n_k1 == 1
+
+    def combine_m(mi, e_mi):
+        """grad[g] = sum_{j1,j2} a2[g,j1] a1[g,j2] E[j1,j2] for one m."""
+        def unit(gi):
+            a1g = a1_ref[gi].astype(jnp.float32)  # (nj, s_blk, f_blk)
+            a2g = a2_ref[gi].astype(jnp.float32)
+            acc = jnp.zeros_like(e_buf[e_mi, 0, 0])
+            for j1 in range(nj):
+                inner = a1g[0] * e_buf[e_mi, 0, j1]
+                for j2 in range(1, nj):
+                    inner = inner + a1g[j2] * e_buf[e_mi, j2, j1]
+                acc = acc + a2g[j1] * inner
+            out_ref[mi, gi] = acc
+
+        if g_units <= 2:
+            for gi in range(g_units):
+                unit(gi)
+        else:
+            def g_body(gi, carry):
+                unit(gi)
+                return carry
+            jax.lax.fori_loop(0, g_units, g_body, 0, unroll=False)
+
+    for mi in range(m_filt):
+        sl = slice(mi * s_blk, (mi + 1) * s_blk)
+
+        def row_body(i, carry):
+            k0 = i * rbb
+            tr = tre_buf[pl.ds(k0, rbb), sl]
+            ti = tim_buf[pl.ds(k0, rbb), sl]
+            pc = dot(t2cT, tr, dn1)               # (nj, s_blk, f_blk) f32
+            ps = dot(t2sT, tr, dn1)
+            qc = dot(t2cT, ti, dn1)
+            qs = dot(t2sT, ti, dn1)
+            p_buf[:, pl.ds(i, 1)] = (pc - qs)[:, None].astype(cdt)
+            q_buf[:, pl.ds(i, 1)] = (ps + qc)[:, None].astype(cdt)
+            return carry
+
+        jax.lax.fori_loop(0, k1_blk, row_body, 0, unroll=False)
+
+        e_mi = 0 if single else mi
+        for j2 in range(nj):
+            ej2 = (dot(t1cT, p_buf[j2], dn1)
+                   - dot(t1sT, q_buf[j2], dn1))
+            if single:
+                e_buf[e_mi, j2] = ej2
+            else:
+                @pl.when(kc == 0)
+                def _():
+                    e_buf[e_mi, j2] = ej2
+
+                @pl.when(kc > 0)
+                def _():
+                    e_buf[e_mi, j2] = e_buf[e_mi, j2] + ej2
+        if single:
+            combine_m(mi, 0)
+
+    if not single:
+        @pl.when(kc == n_k1 - 1)
+        def _():
+            for mi in range(m_filt):
+                combine_m(mi, mi)
+
+    if has_dx:
+        # per-unit input-grad spectra, accumulated into the full-B out2
+        # block: rows of THIS chunk are first written at (fj==0, unit 0)
+        # and accumulated on every later visit (see _kernel_spectral dx
+        # notes for the math).
+        if t1c_ref.shape[0] == k1_blk:
+            t1c = t1c_ref[...]
+            t1s = t1s_ref[...]
+        else:
+            t1c = t1c_ref[pl.ds(kc * k1_blk, k1_blk)]
+            t1s = t1s_ref[pl.ds(kc * k1_blk, k1_blk)]
+
+        def dx_unit(gi):
+            a1g = a1_ref[gi]
+            a2g = a2_ref[gi]
+            pyre_buf[...] = dot(t1c, a2g, dn1)
+            pyim_buf[...] = dot(t1s, a2g, dn1)
+            px = dot(t2_ref[...], a1g, dn1)
+            pxre = px[:rbb]
+            pxim = px[rbb:]
+            wgi = wg_ref[gi].astype(jnp.float32)
+            static_g = gi if isinstance(gi, int) else None
+
+            def dx_body(i, carry):
+                k0 = i * rbb
+                row0 = kc * kb_c + k0
+                ebg = esb_ref[pl.ds(k0, rbb)].astype(jnp.float32)
+                pyr = pyre_buf[pl.ds(i, 1)]
+                pyi = pyim_buf[pl.ds(i, 1)]
+                prg = (pyr * pxre - pyi * pxim) * wgi[None]
+                pig = (pyr * pxim + pyi * pxre) * wgi[None]
+                dnf = (((2,), (2,)), ((0,), (0,)))
+                o1 = dot(ebg, prg, dnf)           # (rbb, 2N, s_blk)
+                o2 = dot(ebg, pig, dnf)
+                v = jnp.concatenate(
+                    [o1[:, :n_img] + o2[:, n_img:],
+                     o1[:, n_img:] - o2[:, :n_img]], axis=1)
+                first = ((fj == 0) if static_g == 0
+                         else (fj == 0) & (gi == 0) if static_g is None
+                         else None)
+                if first is None:                 # unrolled, later unit
+                    out2_ref[pl.ds(row0, rbb)] = (
+                        out2_ref[pl.ds(row0, rbb)] + v)
+                else:
+                    @pl.when(first)
+                    def _():
+                        out2_ref[pl.ds(row0, rbb)] = v
+
+                    @pl.when(jnp.logical_not(first))
+                    def _():
+                        out2_ref[pl.ds(row0, rbb)] = (
+                            out2_ref[pl.ds(row0, rbb)] + v)
+                return carry
+
+            jax.lax.fori_loop(0, k1_blk, dx_body, 0, unroll=False)
+
+        if g_units <= 2:
+            for gi in range(g_units):
+                dx_unit(gi)
+        else:
+            def gdx_body(gi, carry):
+                dx_unit(gi)
+                return carry
+            jax.lax.fori_loop(0, g_units, gdx_body, 0, unroll=False)
+
+
+def _block_shapes(f: int, s: int, interpret: bool):
+    """Mosaic requires the LAST TWO dims of every block to be (8, 128)-
+    divisible or equal to the array dims; and the LANE dim of the in-kernel
+    3D dots (F here) must be a 128-multiple when compiled - F=32 dies in
+    infer-vector-layout with an unsupported shape cast (reproduced on the
+    reference-speedtest layer config). Interpret mode has no such
+    constraint (small-shape tests)."""
+    if f % 128 == 0:
+        f_blk = 128
+    elif interpret and f % 8 == 0 and f <= 512:
+        f_blk = f
+    else:
+        raise FusedPlanError(f"fused_spectral_grads: unsupported F={f}")
+    if s % 128 == 0:
+        s_blk = 128
+    elif s % 8 == 0 and s <= 512:
+        s_blk = s
+    else:
+        raise FusedPlanError(f"fused_spectral_grads: unsupported S={s}")
+    return f_blk, s_blk
+
+
+def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
+                         p1b: int, rbb: int, esb=None, wg=None,
+                         interpret: bool, vmem_budget: int | None):
+    """Assembly for the factored-gather kernel (see _kernel_factored)."""
+    b, m, n2, s = xs.shape
+    f = es.shape[2]
+    nj, g = a1.shape[0], a1.shape[1]
+    has_dx = esb is not None
+    itemsize = jnp.dtype(xs.dtype).itemsize
+    f_blk, s_blk = _block_shapes(f, s, interpret)
+
+    def footprint(k1_blk):
+        kb_c = k1_blk * rbb
+        single = k1_blk >= p1b
+        p1p_ = _ceil_to(p1b, k1_blk)
+        xs_b = 2 * kb_c * m * n2 * s_blk * itemsize
+        es_b = 2 * kb_c * n2 * f_blk * itemsize
+        t_b = 2 * kb_c * m * s_blk * f_blk * itemsize
+        pq_b = 2 * nj * k1_blk * s_blk * f_blk * itemsize
+        e_b = (1 if single else m) * nj * nj * s_blk * f_blk * 4
+        row_b = 6 * rbb * s_blk * f_blk * 4     # pc/ps/qc/qs + p/q temps
+        a_b = 4 * nj * g * s_blk * f_blk * itemsize
+        total = xs_b + es_b + t_b + pq_b + e_b + row_b + a_b
+        if has_dx:
+            total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
+            total += p1p_ * rbb * n2 * s_blk * 4        # full-B dx block
+            total += 2 * k1_blk * s_blk * f_blk * 4     # py scratch
+            total += 5 * rbb * s_blk * f_blk * 4        # px / w*phi temps
+        return total
+
+    if vmem_budget is None:
+        vmem_budget = 100 * 1024 * 1024
+    k1_blk = None
+    if footprint(p1b) <= vmem_budget:
+        k1_blk = p1b
+    else:
+        for n_k1_c in range(2, p1b + 1):
+            cand = _ceil_to(-(-p1b // n_k1_c), 8)
+            if footprint(cand) <= vmem_budget:
+                k1_blk = cand
+                break
+    if k1_blk is None:
+        raise FusedPlanError(
+            f"fused_factored: no VMEM plan for B={b} M={m} S={s} F={f}")
+    n_k1 = -(-p1b // k1_blk)
+    p1p = n_k1 * k1_blk
+    kb_c = k1_blk * rbb
+
+    a1 = jnp.transpose(a1, (1, 0, 2, 3))          # (G, nj, S, F)
+    a2 = jnp.transpose(a2, (1, 0, 2, 3))
+
+    if p1p != p1b:
+        pad_bins = (p1p - p1b) * rbb
+        xs = jnp.pad(xs, ((0, pad_bins), (0, 0), (0, 0), (0, 0)))
+        es = jnp.pad(es, ((0, pad_bins), (0, 0), (0, 0)))
+        if has_dx:
+            esb = jnp.pad(esb, ((0, pad_bins), (0, 0), (0, 0)))
+    t1c = t1[:p1b]
+    t1s = t1[p1b:]
+    if p1p != p1b:
+        t1c = jnp.pad(t1c, ((0, p1p - p1b), (0, 0)))
+        t1s = jnp.pad(t1s, ((0, p1p - p1b), (0, 0)))
+    # pre-transposed, kc-chunked axis-1 tables for the E contraction (an
+    # in-kernel transpose would be a relayout; a lane-dim chunk slice would
+    # need 128-alignment - blocking a host-built (n_k1, nj, k1_blk) array
+    # by kc needs neither)
+    t1cT = jnp.transpose(t1c).reshape(nj, n_k1, k1_blk).transpose(1, 0, 2)
+    t1sT = jnp.transpose(t1s).reshape(nj, n_k1, k1_blk).transpose(1, 0, 2)
+    t2cT = jnp.transpose(t2[:rbb])                # (nj, rb)
+    t2sT = jnp.transpose(t2[rbb:])
+
+    grid = (s // s_blk, f // f_blk, n_k1)
+    kern = functools.partial(
+        _kernel_factored, n_img=n_img, m_filt=m, rbb=rbb, k1_blk=k1_blk,
+        n_k1=n_k1, g_units=g,
+        hi_precision=(jnp.dtype(xs.dtype) == jnp.float32), has_dx=has_dx)
+    in_specs = [
+        pl.BlockSpec((kb_c, m, n2, s_blk),
+                     lambda si, fj, kc: (kc, 0, 0, si),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kb_c, n2, f_blk), lambda si, fj, kc: (kc, 0, fj),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xs, es.astype(xs.dtype)]
+    if has_dx:
+        in_specs += [
+            pl.BlockSpec((kb_c, n2, f_blk), lambda si, fj, kc: (kc, 0, fj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_blk, f_blk), lambda si, fj, kc: (0, si, fj),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [esb.astype(xs.dtype), wg.astype(xs.dtype)]
+    in_specs += [
+        pl.BlockSpec((1, nj, k1_blk), lambda si, fj, kc: (kc, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nj, k1_blk), lambda si, fj, kc: (kc, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nj, rbb), lambda si, fj, kc: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nj, rbb), lambda si, fj, kc: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [t1cT.astype(xs.dtype), t1sT.astype(xs.dtype),
+                 t2cT.astype(xs.dtype), t2sT.astype(xs.dtype)]
+    if has_dx:
+        in_specs += [
+            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * rbb, nj), lambda si, fj, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [t1c.astype(xs.dtype), t1s.astype(xs.dtype),
+                     t2.astype(xs.dtype)]
+    in_specs += [
+        pl.BlockSpec((g, nj, s_blk, f_blk),
+                     lambda si, fj, kc: (0, 0, si, fj),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nj, s_blk, f_blk),
+                     lambda si, fj, kc: (0, 0, si, fj),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [a1.astype(xs.dtype), a2.astype(xs.dtype)]
+    out_specs = pl.BlockSpec((m, g, s_blk, f_blk),
+                             lambda si, fj, kc: (0, 0, si, fj),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, g, s, f), jnp.float32)
+    if has_dx:
+        out_specs = [out_specs,
+                     pl.BlockSpec((p1p * rbb, n2, s_blk),
+                                  lambda si, fj, kc: (0, 0, si),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((p1p * rbb, n2, s), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
+        pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
+        pltpu.VMEM((nj, k1_blk, s_blk, f_blk), xs.dtype),
+        pltpu.VMEM((nj, k1_blk, s_blk, f_blk), xs.dtype),
+        pltpu.VMEM((1 if n_k1 == 1 else m, nj, nj, s_blk, f_blk),
+                   jnp.float32),
+    ]
+    if has_dx:
+        scratch_shapes += [pltpu.VMEM((k1_blk, s_blk, f_blk), jnp.float32),
+                           pltpu.VMEM((k1_blk, s_blk, f_blk), jnp.float32)]
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    if has_dx:
+        out, dxs = res
+        return jnp.transpose(out, (0, 2, 1, 3)), dxs[:b]
+    return jnp.transpose(res, (0, 2, 1, 3))       # -> (M, S, G, F)
+
+
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                               p1b: int, rbb: int,
                               esb=None, wg=None,
                               interpret: bool | None = None,
-                              vmem_budget: int | None = None):
+                              vmem_budget: int | None = None,
+                              gather: str = "phi"):
     """Invoke the fused backward kernel (spectral in-kernel gather).
 
     Args:
@@ -287,26 +701,15 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         raise ValueError(f"B={b} != P1*rb={p1b * rbb}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if gather == "factored":
+        return _fused_factored_call(
+            xs, es, t1, t2, a1, a2, n_img=n_img, p1b=p1b, rbb=rbb,
+            esb=esb, wg=wg, interpret=interpret, vmem_budget=vmem_budget)
+    if gather != "phi":
+        raise ValueError(f"unknown gather mode {gather!r}")
     itemsize = jnp.dtype(xs.dtype).itemsize
 
-    # Block shapes: Mosaic requires the LAST TWO dims of every block to be
-    # (8, 128)-divisible or equal to the array dims; and the LANE dim of
-    # the in-kernel 3D dots (F here) must be a 128-multiple when compiled
-    # - F=32 dies in infer-vector-layout with an unsupported shape cast
-    # (reproduced on the reference-speedtest layer config). Interpret mode
-    # has no such constraint (small-shape tests).
-    if f % 128 == 0:
-        f_blk = 128
-    elif interpret and f % 8 == 0 and f <= 512:
-        f_blk = f
-    else:
-        raise FusedPlanError(f"fused_spectral_grads: unsupported F={f}")
-    if s % 128 == 0:
-        s_blk = 128
-    elif s % 8 == 0 and s <= 512:
-        s_blk = s
-    else:
-        raise FusedPlanError(f"fused_spectral_grads: unsupported S={s}")
+    f_blk, s_blk = _block_shapes(f, s, interpret)
 
     def footprint(k1_blk):
         kb_c = k1_blk * rbb
@@ -322,6 +725,7 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
             total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
             total += kb_c * n2 * s_blk * 4              # dx out block
             total += 4 * rbb * s_blk * f_blk * 4        # per-k-group w*phi
+            total += 2 * k1_blk * s_blk * f_blk * 4     # py scratch refs
         return total
 
     if vmem_budget is None:
@@ -426,6 +830,10 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                      jax.ShapeDtypeStruct((p1p * rbb, n2, s), jnp.float32)]
     scratch_shapes = [pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
                       pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype)]
+    if has_dx:
+        # per-row py phase factors for the dx rebuild (see _kernel_spectral)
+        scratch_shapes += [pltpu.VMEM((k1_blk, s_blk, f_blk), jnp.float32),
+                           pltpu.VMEM((k1_blk, s_blk, f_blk), jnp.float32)]
     res = pl.pallas_call(
         kern,
         grid=grid,

@@ -471,7 +471,8 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
 def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                               use_interpolation: bool = True,
                               precision=jax.lax.Precision.DEFAULT,
-                              err_blur=None, w_units=None):
+                              err_blur=None, w_units=None,
+                              gather: str = "factored"):
     """`fourier_unit_grads` with the cross-spectra AND the spectral
     tap-gather fused in one Pallas kernel (kernels/fused_bwd.py): the
     cross-spectra never touch HBM, the unit phase factors are built
@@ -518,7 +519,7 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                        (0, 2, 1, 3))
     res = fused_spectral_grads_call(
         xs.astype(x_blur_k.dtype), es.astype(x_blur_k.dtype), t1, t2, a1, a2,
-        n_img=n, p1b=p1, rbb=rb, esb=esb, wg=wg)
+        n_img=n, p1b=p1, rbb=rb, esb=esb, wg=wg, gather=gather)
     if not with_dx:
         return res
     grads, dxs = res

@@ -1,6 +1,7 @@
 """Pallas kernels vs the XLA engine and the oracle (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -114,7 +115,7 @@ class TestFusedSpectralBackward:
     cross-spectra + in-kernel spectral tap-gather, validated in interpret
     mode against the unfused fourier path (which the oracle matrix pins)."""
 
-    def _case(self, S, F, HW, vmem_budget=None, G=2):
+    def _case(self, S, F, HW, vmem_budget=None, G=2, gather="factored"):
         import dau_convnet_tpu.ops.fourier_engine as fe
         from dau_convnet_tpu.kernels.fused_bwd import (
             fused_spectral_grads_call)
@@ -131,7 +132,7 @@ class TestFusedSpectralBackward:
                                     precision=hi)
         if vmem_budget is None:
             got = fe.fourier_unit_grads_fused2(xbm, err, mu1, mu2, KS, True,
-                                               precision=hi)
+                                               precision=hi, gather=gather)
         else:
             p1, p2, rb = fe.plan_bins(HW, HW, KS)
             span = KS // 2 + 1
@@ -155,34 +156,43 @@ class TestFusedSpectralBackward:
                                (0, 2, 1, 3))
             got = fused_spectral_grads_call(
                 xs, es, t1, t2, a1, a2, n_img=N, p1b=p1, rbb=rb,
-                vmem_budget=vmem_budget)
+                vmem_budget=vmem_budget, gather=gather)
         rel = float(jnp.max(jnp.abs(ref - got))
                     / (jnp.max(jnp.abs(ref)) + 1e-9))
         assert rel < 1e-4, rel
 
-    def test_small(self):
-        self._case(16, 24, 13)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_small(self, gather):
+        self._case(16, 24, 13, gather=gather)
 
-    def test_uneven_spatial(self):
-        self._case(24, 32, 27)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_uneven_spatial(self, gather):
+        self._case(24, 32, 27, gather=gather)
 
-    def test_forced_k1_chunking(self):
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_forced_k1_chunking(self, gather):
         # tiny budget forces n_k1 > 1: validates the cross-chunk output
-        # accumulation path
-        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024)
+        # accumulation path (phi: per-chunk grad partials; factored: the
+        # in-scratch E accumulation over kc)
+        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024, gather=gather)
 
-    def test_g4_fori_path(self):
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_g4_fori_path(self, gather):
         # G > 2 takes the in-kernel fori_loop gather (dynamic unit
         # indexing; the round-2 kernel could not compile G=4 at all)
-        self._case(16, 24, 13, G=4)
+        self._case(16, 24, 13, G=4, gather=gather)
 
-    def test_g4_chunked(self):
-        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024, G=4)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_g4_chunked(self, gather):
+        self._case(24, 32, 27, vmem_budget=12 * 1024 * 1024, G=4,
+                   gather=gather)
 
-    def test_g1(self):
-        self._case(16, 24, 13, G=1)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_g1(self, gather):
+        self._case(16, 24, 13, G=1, gather=gather)
 
-    def _case_dx(self, S, F, HW, G=2, vmem_budget=None):
+    def _case_dx(self, S, F, HW, G=2, vmem_budget=None,
+                 gather="factored"):
         """Fused dx emission: grads AND the input-grad from one kernel
         invocation, vs the unfused conj(Phi) path."""
         import dau_convnet_tpu.ops.fourier_engine as fe
@@ -212,13 +222,13 @@ class TestFusedSpectralBackward:
             try:
                 got, dx = fe.fourier_unit_grads_fused2(
                     xbm, err, mu1, mu2, KS, True, precision=hi,
-                    err_blur=gyb, w_units=w)
+                    err_blur=gyb, w_units=w, gather=gather)
             finally:
                 fb.fused_spectral_grads_call = orig
         else:
             got, dx = fe.fourier_unit_grads_fused2(
                 xbm, err, mu1, mu2, KS, True, precision=hi,
-                err_blur=gyb, w_units=w)
+                err_blur=gyb, w_units=w, gather=gather)
         grel = float(jnp.max(jnp.abs(g_ref - got))
                      / (jnp.max(jnp.abs(g_ref)) + 1e-9))
         drel = float(jnp.max(jnp.abs(dx_ref - dx))
@@ -226,16 +236,21 @@ class TestFusedSpectralBackward:
         assert grel < 1e-4, grel
         assert drel < 1e-4, drel
 
-    def test_dx_fused(self):
-        self._case_dx(16, 24, 13)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_dx_fused(self, gather):
+        self._case_dx(16, 24, 13, gather=gather)
 
-    def test_dx_fused_g4(self):
-        self._case_dx(16, 24, 13, G=4)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_dx_fused_g4(self, gather):
+        self._case_dx(16, 24, 13, G=4, gather=gather)
 
-    def test_dx_fused_chunked(self):
-        # n_k1 > 1: the dx output accumulates over the fj grid dim while
-        # bins are chunked over kc (the partial-grads layout)
-        self._case_dx(24, 32, 27, vmem_budget=12 * 1024 * 1024)
+    @pytest.mark.parametrize("gather", ["phi", "factored"])
+    def test_dx_fused_chunked(self, gather):
+        # n_k1 > 1: phi accumulates dx over the fj grid dim with per-chunk
+        # grad partials; factored accumulates E over the kc grid dim with
+        # the full-B dx block
+        self._case_dx(24, 32, 27, vmem_budget=12 * 1024 * 1024,
+                      gather=gather)
 
 
 class TestFusedForward:
