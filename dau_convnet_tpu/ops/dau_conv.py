@@ -100,6 +100,13 @@ class DAUConvSettings:
     # marginal in-kernel vs the unfused dx-apply is shape-dependent
     # (PERF_NOTES round-3 table) - the step picks per-layer via this knob.
     fused_dx: str = "auto"
+    # In-kernel spectral gather form: 'factored' contracts the cross-spectra
+    # against the integer-exponent tables once (E-table sandwich; per-unit
+    # work independent of the bin count), 'phi' builds each unit's phase
+    # factor over all bins (the round-2 kernel). Factored measured faster at
+    # every model shape and is the only form that wins the conv2 bin regime
+    # (B=496); phi kept for A/B and regression coverage.
+    fused_gather: str = "factored"
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0
@@ -117,6 +124,8 @@ class DAUConvSettings:
             raise ValueError(f"unknown fused_bwd {self.fused_bwd!r}")
         if self.fused_dx not in ("auto", "off"):
             raise ValueError(f"unknown fused_dx {self.fused_dx!r}")
+        if self.fused_gather not in ("factored", "phi"):
+            raise ValueError(f"unknown fused_gather {self.fused_gather!r}")
         if self.engine == "auto":
             # measured basis: PERF_NOTES.md per-layer table (fourier wins all
             # bf16 model shapes); the f32-HIGHEST layer record is the dense
@@ -411,16 +420,19 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # Single-device TPU only: under multi-device auto-pjit, GSPMD
         # cannot partition the custom call (it would replicate the batch);
         # sharded runs keep the unfused XLA form, which partitions cleanly.
-        # The fused kernel wins when the bin count is small (its in-VMEM
-        # phase/product temporaries scale with bins x s_blk x f_blk):
-        # measured conv4 (B=153) 0.84 vs 1.37 ms, but conv2 (B=496)
-        # 0.94 vs 0.58 ms - hence the bin-count gate.
+        # The phi gather's in-VMEM phase temporaries scale with
+        # bins x s_blk x f_blk, so in 'auto' it gates on bin count
+        # (measured conv4 B=153: 0.84 vs 1.37 ms, conv2 B=496: 0.94 vs
+        # 0.58). The factored gather's per-unit work is independent of the
+        # bin count - no gate (the VMEM plan itself rejects what won't fit).
         p1_, p2_, rb_ = fourier_engine.plan_bins(
             h, w_sp, cfg.synth_kernel_size)
         fused_ok = (cfg.fused_bwd != "off"
                     and jax.default_backend() == "tpu"
                     and jax.device_count() == 1
-                    and (p1_ * rb_ <= 256 if cfg.fused_bwd == "auto"
+                    and (p1_ * rb_ <= 256
+                         if (cfg.fused_bwd == "auto"
+                             and cfg.fused_gather == "phi")
                          else True))
         if fused_ok:
             try:
@@ -432,12 +444,14 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                     grads, dx = fourier_engine.fourier_unit_grads_fused2(
                         xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
                         cfg.use_interpolation, precision=cfg.lax_precision,
-                        err_blur=gy_blur, w_units=w3m.astype(xb.dtype))
+                        err_blur=gy_blur, w_units=w3m.astype(xb.dtype),
+                        gather=cfg.fused_gather)
                     dx = dx.astype(x.dtype)
                 else:
                     grads = fourier_engine.fourier_unit_grads_fused2(
                         xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
-                        cfg.use_interpolation, precision=cfg.lax_precision)
+                        cfg.use_interpolation, precision=cfg.lax_precision,
+                        gather=cfg.fused_gather)
             except FusedPlanError:  # no VMEM plan for this shape
                 grads = None
         if grads is None:

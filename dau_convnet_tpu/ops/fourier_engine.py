@@ -486,6 +486,11 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
       err_blur: (N, F, H, W) mirror-blurred error (the dx operand).
       w_units: (S, G, F) dummy-masked unit weights.
     Returns (grads, dx) with dx (N, S, H, W) float32.
+
+    gather: 'factored' (default) contracts the cross-spectra against the
+    integer-exponent tables once and combines per unit over the nj^2 table
+    square (per-unit work independent of the bin count); 'phi' builds each
+    unit's phase factor over all bins (kernels/fused_bwd.py docstrings).
     """
     from ..kernels.fused_bwd import fused_spectral_grads_call
 
