@@ -18,7 +18,7 @@ from dau_convnet_tpu.ops import fourier_engine as fe  # noqa: E402
 
 DTYPE = jnp.bfloat16
 N, G, KS, M = 32, 2, 9, 3
-GATHER = "factored"
+GATHER = "phi"
 if "--g" in sys.argv:
     i = sys.argv.index("--g")
     G = int(sys.argv[i + 1])

@@ -100,13 +100,15 @@ class DAUConvSettings:
     # marginal in-kernel vs the unfused dx-apply is shape-dependent
     # (PERF_NOTES round-3 table) - the step picks per-layer via this knob.
     fused_dx: str = "auto"
-    # In-kernel spectral gather form: 'factored' contracts the cross-spectra
-    # against the integer-exponent tables once (E-table sandwich; per-unit
-    # work independent of the bin count), 'phi' builds each unit's phase
-    # factor over all bins (the round-2 kernel). Factored measured faster at
-    # every model shape and is the only form that wins the conv2 bin regime
-    # (B=496); phi kept for A/B and regression coverage.
-    fused_gather: str = "factored"
+    # In-kernel spectral gather form: 'phi' (production) builds each unit's
+    # phase factor over all bins; 'factored' contracts the cross-spectra
+    # against the integer-exponent tables once (per-unit work independent
+    # of the bin count). Measured (PERF_NOTES round 3): phi wins the
+    # B<=256 shapes (conv4 1.08 vs 1.65 ms - the factored form's skinny
+    # per-row table dots are fill/drain-bound), factored wins phi at conv2
+    # (B=496: 0.71 vs 0.94) but only TIES the unfused path there (0.73),
+    # so the auto gate keeps conv2 unfused and the phi form elsewhere.
+    fused_gather: str = "phi"
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0

@@ -472,7 +472,7 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                               use_interpolation: bool = True,
                               precision=jax.lax.Precision.DEFAULT,
                               err_blur=None, w_units=None,
-                              gather: str = "factored"):
+                              gather: str = "phi"):
     """`fourier_unit_grads` with the cross-spectra AND the spectral
     tap-gather fused in one Pallas kernel (kernels/fused_bwd.py): the
     cross-spectra never touch HBM, the unit phase factors are built
@@ -487,10 +487,11 @@ def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
       w_units: (S, G, F) dummy-masked unit weights.
     Returns (grads, dx) with dx (N, S, H, W) float32.
 
-    gather: 'factored' (default) contracts the cross-spectra against the
+    gather: 'phi' (default, production) builds each unit's phase factor
+    over all bins; 'factored' contracts the cross-spectra against the
     integer-exponent tables once and combines per unit over the nj^2 table
-    square (per-unit work independent of the bin count); 'phi' builds each
-    unit's phase factor over all bins (kernels/fused_bwd.py docstrings).
+    square - bin-independent per-unit work, but its skinny table dots are
+    fill/drain-bound at the B<=256 shapes (kernels/fused_bwd.py).
     """
     from ..kernels.fused_bwd import fused_spectral_grads_call
 

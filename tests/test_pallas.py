@@ -115,7 +115,7 @@ class TestFusedSpectralBackward:
     cross-spectra + in-kernel spectral tap-gather, validated in interpret
     mode against the unfused fourier path (which the oracle matrix pins)."""
 
-    def _case(self, S, F, HW, vmem_budget=None, G=2, gather="factored"):
+    def _case(self, S, F, HW, vmem_budget=None, G=2, gather="phi"):
         import dau_convnet_tpu.ops.fourier_engine as fe
         from dau_convnet_tpu.kernels.fused_bwd import (
             fused_spectral_grads_call)
@@ -191,8 +191,7 @@ class TestFusedSpectralBackward:
     def test_g1(self, gather):
         self._case(16, 24, 13, G=1, gather=gather)
 
-    def _case_dx(self, S, F, HW, G=2, vmem_budget=None,
-                 gather="factored"):
+    def _case_dx(self, S, F, HW, G=2, vmem_budget=None, gather="phi"):
         """Fused dx emission: grads AND the input-grad from one kernel
         invocation, vs the unfused conj(Phi) path."""
         import dau_convnet_tpu.ops.fourier_engine as fe
