@@ -17,12 +17,18 @@ single-layer microbench.
 
 import argparse
 import json
+import logging
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# observability only (trace-time path-selection logs from the op; never
+# affects traced behavior): DAU_LOGLEVEL=INFO python bench.py
+logging.basicConfig(level=os.environ.get("DAU_LOGLEVEL", "WARNING"))
 
 # Persistent compilation cache: the production step embeds Mosaic kernels
 # whose first compile is minutes over the remote-compile tunnel; cached
@@ -177,7 +183,8 @@ def bench_alexnet(args):
                        for s, f, hw in layer_px)
 
     dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
-                     engine=args.engine)
+                     engine=args.engine, fused_bwd=args.fused_bwd,
+                     fused_dx=args.fused_dx, fused_gather=args.fused_gather)
     dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
     step, carry = make_step(dau, dau_params)
     t_dau = time_chained(step, carry, args.iters)
@@ -283,6 +290,12 @@ def main():
                     choices=["layer", "alexnet", "memtest"])
     ap.add_argument("--variant", default="default",
                     choices=["small", "default", "large"])
+    ap.add_argument("--fused-bwd", dest="fused_bwd", default="auto",
+                    choices=["auto", "on", "off"])
+    ap.add_argument("--fused-dx", dest="fused_dx", default="auto",
+                    choices=["auto", "off"])
+    ap.add_argument("--fused-gather", dest="fused_gather", default="phi",
+                    choices=["phi", "factored"])
     args = ap.parse_args()
 
     if args.dtype is None:

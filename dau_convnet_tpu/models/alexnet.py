@@ -49,6 +49,9 @@ class AlexNetDAU(nn.Module):
     # utils.tiers.tier_for_params for the between-epochs re-jit workflow
     static_max_offset: tp.Optional[float] = None
     engine: str = "auto"
+    fused_bwd: str = "auto"
+    fused_dx: str = "auto"
+    fused_gather: str = "phi"
     train: bool = True
     dtype: tp.Any = jnp.float32
 
@@ -73,6 +76,8 @@ class AlexNetDAU(nn.Module):
                           max_kernel_size=self.max_kernel_size,
                           static_max_offset=self.static_max_offset,
                           engine=self.engine,
+                          fused_bwd=self.fused_bwd, fused_dx=self.fused_dx,
+                          fused_gather=self.fused_gather,
                           activation=nn.relu, dtype=self.dtype,
                           name=name)(x)
             if pool:

@@ -248,6 +248,11 @@ class DAUConv2d(nn.Module):
     # production bf16 path (wins every measured model shape), xla for
     # f32/'highest' (the oracle-exact mode). See PERF_NOTES.md.
     engine: str = "auto"
+    # Fused-backward policy knobs, forwarded to DAUConvSettings (see the
+    # field docs there; defaults are the measured production policy)
+    fused_bwd: str = "auto"
+    fused_dx: str = "auto"
+    fused_gather: str = "phi"
     # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
     # (native bf16 MXU) otherwise
     precision: tp.Optional[str] = None
@@ -359,6 +364,9 @@ class DAUConv2d(nn.Module):
             static_max_offset=self.static_max_offset,
             engine=self.engine,
             precision=precision,
+            fused_bwd=self.fused_bwd,
+            fused_dx=self.fused_dx,
+            fused_gather=self.fused_gather,
         )
 
         sigma_tiled = jnp.broadcast_to(sigma.reshape(1, 1, 1, 1), pshape)

@@ -28,6 +28,7 @@ the forward is linear in both.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import typing as tp
 from functools import partial
@@ -41,6 +42,8 @@ from .gaussian import (depthwise_blur, gaussian_factor_filters,
                        gaussian_filters, rank1_blur, rank1_blur_stack)
 
 __all__ = ["DAUConvSettings", "dau_conv2d_op", "edge_gradient_mask"]
+
+_log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -456,6 +459,12 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                         gather=cfg.fused_gather)
             except FusedPlanError:  # no VMEM plan for this shape
                 grads = None
+        _log.info(
+            "dau bwd %dx%d S=%d F=%d B=%d: %s",
+            h, w_sp, s_ch, f_ch, p1_ * rb_,
+            ("unfused spectral gather" if grads is None else
+             f"fused kernel (gather={cfg.fused_gather}, "
+             f"dx={'fused' if dx is not None else 'separate'})"))
         if grads is None:
             grads = fourier_engine.fourier_unit_grads(
                 xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
