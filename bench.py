@@ -293,7 +293,7 @@ def main():
     ap.add_argument("--fused-bwd", dest="fused_bwd", default="auto",
                     choices=["auto", "on", "off"])
     ap.add_argument("--fused-dx", dest="fused_dx", default="auto",
-                    choices=["auto", "off"])
+                    choices=["auto", "on", "off"])
     ap.add_argument("--fused-gather", dest="fused_gather", default="phi",
                     choices=["phi", "factored"])
     args = ap.parse_args()

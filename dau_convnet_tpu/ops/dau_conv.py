@@ -98,10 +98,16 @@ class DAUConvSettings:
     fused_bwd: str = "auto"
     # Emit the input gradient from the SAME fused backward kernel invocation
     # (the unit phase factors already live in VMEM there; requires
-    # use_interpolation): 'auto' = whenever the fused backward runs,
-    # 'off' = keep the stashed-phi conj(Phi) dx path. Measured: the dx
-    # marginal in-kernel vs the unfused dx-apply is shape-dependent
-    # (PERF_NOTES round-3 table) - the step picks per-layer via this knob.
+    # use_interpolation): 'on' = whenever the fused backward runs, 'off' =
+    # always the stashed-phi conj(Phi) dx path, 'auto' = the measured
+    # in-step policy. Measured (PERF_NOTES round 3): STANDALONE the fusion
+    # wins big (conv4 1.174 vs 1.70 ms - the in-kernel dx marginal is
+    # ~0.09 ms vs ~0.5 for phi-build + dx-apply), but IN-STEP it loses
+    # ~0.3-0.5 ms (whole-step A/B 7.76 off vs 8.01/8.32 on): the opaque
+    # custom call cannot overlap neighboring layers' work the way the
+    # unfused dx chain's HBM traffic does. 'auto' therefore resolves to
+    # off in the training step; 'on' remains right for latency-dominated
+    # single-layer use.
     fused_dx: str = "auto"
     # In-kernel spectral gather form: 'phi' (production) builds each unit's
     # phase factor over all bins; 'factored' contracts the cross-spectra
@@ -127,7 +133,7 @@ class DAUConvSettings:
             raise ValueError(f"unknown precision {self.precision!r}")
         if self.fused_bwd not in ("auto", "on", "off"):
             raise ValueError(f"unknown fused_bwd {self.fused_bwd!r}")
-        if self.fused_dx not in ("auto", "off"):
+        if self.fused_dx not in ("auto", "on", "off"):
             raise ValueError(f"unknown fused_dx {self.fused_dx!r}")
         if self.fused_gather not in ("factored", "phi"):
             raise ValueError(f"unknown fused_gather {self.fused_gather!r}")
@@ -441,7 +447,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                          else True))
         if fused_ok:
             try:
-                if fourier_dx_ok and cfg.fused_dx == "auto":
+                if fourier_dx_ok and cfg.fused_dx == "on":
                     # dx from the same kernel: the in-VMEM phase factors
                     # serve both the unit-grad gather and the input-grad
                     # f-contraction (no HBM phi read for dx at all)
