@@ -46,3 +46,46 @@ def test_prefetch_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_cifar_npz_loader(tmp_path):
+    """The examples' --data-npz path consumes a standard CIFAR-10 npz
+    (uint8 HWC images + integer labels) verbatim."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.train_cifar10 import load_data
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "cifar.npz")
+    np.savez(path,
+             x_train=rng.integers(0, 256, (64, 32, 32, 3), dtype=np.uint8),
+             y_train=rng.integers(0, 10, (64,), dtype=np.int64),
+             x_test=rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8),
+             y_test=rng.integers(0, 10, (16,), dtype=np.int64))
+
+    class Args:
+        data_npz = path
+        dataset = "synthetic"
+
+    x, y, xt, yt = load_data(Args())
+    assert x.shape == (64, 3, 32, 32) and x.dtype == np.float32
+    assert xt.shape == (16, 3, 32, 32)
+    assert y.shape == (64,) and yt.shape == (16,)
+    assert float(np.abs(x).max()) <= 0.5 + 1e-6   # scaled to [-0.5, 0.5]
+
+    # without x_test: a 90/10 split is carved from the train set
+    path2 = str(tmp_path / "cifar_notest.npz")
+    np.savez(path2,
+             x_train=rng.integers(0, 256, (50, 32, 32, 3), dtype=np.uint8),
+             y_train=rng.integers(0, 10, (50,), dtype=np.int64))
+
+    class Args2:
+        data_npz = path2
+        dataset = "synthetic"
+
+    x, y, xt, yt = load_data(Args2())
+    assert len(x) == 45 and len(xt) == 5
