@@ -55,7 +55,7 @@ def _default_engine(model: str) -> str:
     return "fourier" if model == "alexnet" else "xla"
 
 
-def time_chained(make_step, carry, iters=100):
+def time_chained(make_step, carry, iters=100, pairs=3):
     """Per-iteration wall time of `iters` data-dependent on-device steps.
 
     Each step's outputs feed the next step's inputs inside one jitted
@@ -102,7 +102,7 @@ def time_chained(make_step, carry, iters=100):
     # step and quietly fall back to a single noisy pair (round-2 advice).
     import sys
     dts = []
-    for _ in range(3):
+    for _ in range(pairs):
         dt, t2, t1, n1, n2 = run_pair()
         # the long run can't legitimately finish faster than a quarter of
         # the short run's projection t1 * n2/n1 (dispatch overhead only
@@ -187,13 +187,16 @@ def bench_alexnet(args):
                      fused_dx=args.fused_dx, fused_gather=args.fused_gather)
     dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
     step, carry = make_step(dau, dau_params)
-    t_dau = time_chained(step, carry, args.iters)
+    t_dau = time_chained(step, carry, args.iters, pairs=5)
     dau_pairs = time_chained.last_pairs_ms
 
     conv = AlexNetConv()
     conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
     cstep, ccarry = make_step(conv, conv_params)
-    t_conv = time_chained(cstep, ccarry, args.iters)
+    # the conv baseline's differenced pairs swing up to ~2x run-to-run on
+    # the tunnel (observed [1.51, 2.39, 5.30] in one run); a 5-pair median
+    # costs seconds and halves the headline-ratio spread
+    t_conv = time_chained(cstep, ccarry, args.iters, pairs=5)
     conv_pairs = time_chained.last_pairs_ms
 
     print(json.dumps({
