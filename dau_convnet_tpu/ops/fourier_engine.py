@@ -51,6 +51,15 @@ with the contraction taken over the F axis - the Fourier image of the
 reference's "transpose channels + negate mu" backprop identity
 (base_dau_conv_layer.cu:294-325). `dau_conv.py` stashes Phi in the VJP
 residuals so forward and backward share one build.
+
+Numerics note (round-3 extended fuzz): entries that are STRUCTURAL zeros
+in the dense formulation - e.g. a unit whose whole window falls outside a
+small image at the k=33/65 tiers with offsets near the clip bound - come
+out of the spectral sums as ~3e-6 * tensor-scale cancellation residue
+instead of exact 0.0 (many phase terms summing to zero in f32). This is
+f32-roundoff-exact relative to the participating magnitudes; differential
+tests at those configs use the scale-aware absolute floor
+(tests/helpers.py::assert_matrix(scale_aware=True)).
 """
 
 from __future__ import annotations

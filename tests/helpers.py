@@ -5,17 +5,28 @@ import numpy as np
 from dau_convnet_tpu.ops import reference as oracle
 
 
-def assert_matrix(mat, gt, name, rel_tolerance=0.01):
+def assert_matrix(mat, gt, name, rel_tolerance=0.01, scale_aware=False):
     """Reference tolerance policy (dau_conv_test.py:300-333): a pixel is
     invalid only if rel-diff > 1e-4 AND abs-diff > 1e-7; fail only if the
     mean rel-diff over invalid pixels > rel_tolerance AND > 1% of pixels are
-    invalid."""
+    invalid.
+
+    scale_aware raises the absolute floor to 3e-6 * max|gt|: spectral
+    engines leave O(eps * tensor scale) FFT-cancellation residue on entries
+    that are STRUCTURAL zeros in the dense formulation (e.g. units whose
+    window falls entirely outside a small image at large kernel tiers) -
+    rel-diff is infinite there while the numerics are exact to f32 roundoff
+    of the participating magnitudes. The reference's fixed 1e-7 floor
+    presumes its dense-gather GPU engine, which produces those zeros
+    exactly (found by the round-3 extended fuzz, k=33 on 6-19 px images)."""
     mat = np.asarray(mat, np.float64)
     gt = np.asarray(gt, np.float64)
     assert mat.shape == gt.shape, f"{name}: shape {mat.shape} vs {gt.shape}"
     diff_abs = np.abs(mat - gt)
     diff_rel = np.nan_to_num(diff_abs / np.abs(gt + 1e-9))
-    invalid = np.logical_and(diff_rel > 1e-4, diff_abs > 1e-7)
+    abs_floor = (max(1e-7, 3e-6 * float(np.abs(gt).max()))
+                 if scale_aware else 1e-7)
+    invalid = np.logical_and(diff_rel > 1e-4, diff_abs > abs_floor)
     rate = invalid.mean()
     avg = diff_rel[invalid].mean() if invalid.any() else 0.0
     assert avg <= rel_tolerance or rate <= 1e-2, (

@@ -46,3 +46,49 @@ def test_fuzz_configs(seed):
     assert_matrix(np.asarray(y), gt_fwd, f"fwd[{case}]")
     for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
         assert_matrix(np.asarray(grads[i]), gt_bwd[i], f"{nm}[{case}]")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_extreme_tiers(seed):
+    """Large kernel tiers on images SMALLER than the kernel, offsets out to
+    the clip bound - the regime the round-3 extended fuzz found the fixed
+    1e-7 absolute floor misfiring in (structurally-zero grads carry
+    ~1e-6 * scale FFT-cancellation residue in the fourier engine; the
+    dense engine produces them exactly). Runs both engines with the
+    scale-aware tolerance (see assert_matrix)."""
+    rng = np.random.default_rng(7000 + seed)
+    k = int(rng.choice([33, 65]))
+    case = dict(
+        N=int(rng.integers(1, 3)),
+        W=int(rng.integers(5, 20)),
+        H=int(rng.integers(5, 20)),
+        S=int(rng.integers(1, 6)),
+        F=int(rng.integers(1, 6)),
+        units=(int(rng.integers(1, 3)), int(rng.integers(1, 3))),
+        max_kernel_size=k,
+        # offsets out to the mu clip bound, far beyond the image
+        max_offset_init=float(rng.uniform(k // 4, k // 2)),
+    )
+    interp = bool(rng.integers(0, 2))
+    engine = ["xla", "fourier"][seed % 2]
+    x, w, mu1, mu2, sigma, err = random_case(rng, **case)
+    cfg = DAUConvSettings(kernel_size=k, unit_testing=True,
+                          use_interpolation=interp, engine=engine)
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1),
+                          w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, grads = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    gt_fwd = cpp_oracle.forward(x, w, mu1, mu2, [float(sigma)],
+                                use_interpolation=interp)
+    gt_bwd = cpp_oracle.backward(x, err, w, mu1, mu2, [float(sigma)],
+                                 unit_testing=True, use_interpolation=interp)
+    assert_matrix(np.asarray(y), gt_fwd, f"fwd[{engine},{case}]",
+                  scale_aware=True)
+    for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        assert_matrix(np.asarray(grads[i]), gt_bwd[i],
+                      f"{nm}[{engine},{case}]", scale_aware=True)
