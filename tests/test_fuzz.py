@@ -184,3 +184,48 @@ def test_fuzz_dummy_units(seed):
     # dummy-unit gradients are exactly zeroed by the op
     for i in (1, 2, 3):
         assert float(np.abs(np.asarray(grads[i])[:, :, -1]).max()) == 0.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_1d_variants(seed):
+    """1D DAU (single_dim_kernel, mu2=0) and the causal mask
+    (forbid_positive_dim1), randomized vs the C++ oracle (reference
+    oracle masks: dau_conv_test.py:185-198)."""
+    rng = np.random.default_rng(13000 + seed)
+    causal = bool(seed % 2)
+    case = dict(
+        N=int(rng.integers(1, 3)),
+        W=int(rng.integers(8, 20)),
+        H=int(rng.integers(8, 20)),
+        S=int(rng.integers(1, 6)),
+        F=int(rng.integers(1, 6)),
+        units=(int(rng.integers(1, 3)), int(rng.integers(1, 3))),
+        max_kernel_size=9,
+        max_offset_init=3.0,
+    )
+    engine = ["xla", "fourier"][seed % 2]
+    x, w, mu1, mu2, sigma, err = random_case(rng, **case)
+    mu2 = np.zeros_like(mu2)                         # 1D: no y displacement
+    if causal:
+        mu1 = -np.abs(mu1)                           # causal: x <= 0 only
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True,
+                          single_dim_kernel=True,
+                          forbid_positive_dim1=causal, engine=engine)
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1),
+                          w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, grads = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    kw = dict(single_dim_kernel=True, aggr_forbid_positive=causal)
+    gt_fwd = cpp_oracle.forward(x, w, mu1, mu2, [float(sigma)], **kw)
+    gt_bwd = cpp_oracle.backward(x, err, w, mu1, mu2, [float(sigma)],
+                                 unit_testing=True, **kw)
+    assert_matrix(np.asarray(y), gt_fwd, f"fwd[1d,{engine}]",
+                  scale_aware=True)
+    for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        assert_matrix(np.asarray(grads[i]), gt_bwd[i],
+                      f"{nm}[1d,causal={causal},{engine}]", scale_aware=True)
