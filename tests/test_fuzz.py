@@ -229,3 +229,46 @@ def test_fuzz_1d_variants(seed):
     for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
         assert_matrix(np.asarray(grads[i]), gt_bwd[i],
                       f"{nm}[1d,causal={causal},{engine}]", scale_aware=True)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_normalization_modes(seed):
+    """The two non-default blur normalizations (square-sum and none,
+    reference base_dau_conv_layer.cu:605-655) through the FULL op - the
+    filter-level differential test (test_utils) can't see an engine
+    mishandling the mode. Both engines vs the C++ oracle."""
+    rng = np.random.default_rng(15000 + seed)
+    square = bool(seed % 2)
+    case = dict(
+        N=int(rng.integers(1, 3)),
+        W=int(rng.integers(8, 18)),
+        H=int(rng.integers(8, 18)),
+        S=int(rng.integers(1, 5)),
+        F=int(rng.integers(1, 5)),
+        units=(int(rng.integers(1, 3)), int(rng.integers(1, 3))),
+        max_kernel_size=9,
+        max_offset_init=3.0,
+    )
+    engine = ["xla", "fourier"][(seed // 2) % 2]
+    x, w, mu1, mu2, sigma, err = random_case(rng, **case)
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True,
+                          unit_normalization=square,
+                          square_unit_normalization=square, engine=engine)
+    sig = np.broadcast_to(np.float32(sigma).reshape(1, 1, 1, 1),
+                          w.shape).astype(np.float32)
+
+    @jax.jit
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a), x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y, grads = fwd_bwd(x, w, mu1, mu2, sig, jnp.asarray(err))
+    kw = dict(unit_normalization=square, square_unit_normalization=square)
+    gt_fwd = cpp_oracle.forward(x, w, mu1, mu2, [float(sigma)], **kw)
+    gt_bwd = cpp_oracle.backward(x, err, w, mu1, mu2, [float(sigma)],
+                                 unit_testing=True, **kw)
+    assert_matrix(np.asarray(y), gt_fwd, f"fwd[sq={square},{engine}]",
+                  scale_aware=True)
+    for i, nm in enumerate(["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        assert_matrix(np.asarray(grads[i]), gt_bwd[i],
+                      f"{nm}[sq={square},{engine}]", scale_aware=True)
