@@ -1,6 +1,7 @@
 """Shared-displacement DAU variant vs the standard op with broadcast mu."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,9 +20,10 @@ def _case(seed=0, N=2, S=3, G=2, F=4, H=9, W=11):
     return x, w, mu1, mu2, sig, err
 
 
-def test_shared_forward_equals_broadcast_standard():
+@pytest.mark.parametrize("engine", ["xla", "fourier"])
+def test_shared_forward_equals_broadcast_standard(engine):
     x, w, mu1, mu2, sig, _ = _case()
-    cfg = DAUConvSettings(kernel_size=9)
+    cfg = DAUConvSettings(kernel_size=9, engine=engine)
     y_shared = jax.jit(lambda *a: dau_conv2d_shared_op(cfg, *a))(
         x, w, mu1, mu2, sig)
     mu1b = jnp.broadcast_to(mu1[:, :, None], w.shape)
@@ -31,9 +33,10 @@ def test_shared_forward_equals_broadcast_standard():
                                rtol=2e-5, atol=2e-6)
 
 
-def test_shared_gradients_equal_broadcast_standard():
+@pytest.mark.parametrize("engine", ["xla", "fourier"])
+def test_shared_gradients_equal_broadcast_standard(engine):
     x, w, mu1, mu2, sig, err = _case(1)
-    cfg = DAUConvSettings(kernel_size=9, unit_testing=True)
+    cfg = DAUConvSettings(kernel_size=9, unit_testing=True, engine=engine)
 
     @jax.jit
     def run_shared(x, w, mu1, mu2, sig):
