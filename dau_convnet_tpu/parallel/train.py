@@ -60,19 +60,33 @@ def init_sharded(model, tx, mesh: Mesh, sample_input, rng=None,
 
 
 def _opt_shardings(opt_state, params, p_sh, mesh):
-    """Shard optimizer slots like their matching params (by tree structure)."""
-    flat_p, treedef_p = jax.tree_util.tree_flatten(params)
-    flat_sh = jax.tree_util.tree_flatten(p_sh)[0]
-    shape_to_sh = {}
-    for p, s in zip(flat_p, flat_sh):
-        shape_to_sh.setdefault((p.shape, p.dtype), s)
+    """Shard optimizer slots like their matching params, keyed by tree path.
 
-    def leaf(x):
-        if hasattr(x, "shape") and (x.shape, x.dtype) in shape_to_sh and x.ndim > 0:
-            return shape_to_sh[(x.shape, x.dtype)]
-        return NamedSharding(mesh, P())
+    Optax "params-like" slots (momentum/trace/mu/nu, ...) are whole subtrees
+    with the params' exact tree structure; each such subtree mirrors `p_sh`
+    leaf-for-leaf, so two same-shaped params with different shardings keep
+    their own (a (shape, dtype) map would silently alias them). Everything
+    else (step counts, EmptyState, scalar hyperparams) is replicated.
+    """
+    p_def = jax.tree_util.tree_structure(params)
+    p_shapes = [getattr(l, "shape", None)
+                for l in jax.tree_util.tree_leaves(params)]
+    repl = NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(leaf, opt_state)
+    def is_params_like(x):
+        try:
+            if jax.tree_util.tree_structure(x) != p_def:
+                return False
+        except Exception:
+            return False
+        leaves = jax.tree_util.tree_leaves(x)
+        return all(getattr(a, "shape", None) == s
+                   for a, s in zip(leaves, p_shapes))
+
+    return jax.tree_util.tree_map(
+        lambda sub: p_sh if is_params_like(sub) else
+        jax.tree_util.tree_map(lambda _: repl, sub),
+        opt_state, is_leaf=is_params_like)
 
 
 def make_train_step(model, tx, mesh: Mesh, state_shardings,

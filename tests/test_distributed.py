@@ -97,6 +97,43 @@ def test_param_shardings_shard_f_axis():
     assert tuple(sigma.spec) == ()
 
 
+def test_opt_shardings_keyed_by_tree_path():
+    """Two same-shaped params with DIFFERENT shardings must keep their own
+    sharding in the optimizer slots (a (shape, dtype)-keyed map would
+    silently alias the second onto the first's sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dau_convnet_tpu.parallel.train import _opt_shardings
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    params = {
+        "a": {"kernel": jnp.ones((4, 8))},   # sharded on model (F axis)
+        "b": {"scale": jnp.ones((4, 8))},    # same shape, replicated
+    }
+    p_sh = param_shardings(params, mesh)
+    assert tuple(p_sh["a"]["kernel"].spec) == (None, "model")
+    assert tuple(p_sh["b"]["scale"].spec) == ()
+
+    tx = optax.sgd(0.1, momentum=0.9)  # trace slot mirrors params tree
+    opt_state = tx.init(params)
+    opt_sh = _opt_shardings(opt_state, params, p_sh, mesh)
+    trace = opt_sh[0].trace
+    assert tuple(trace["a"]["kernel"].spec) == (None, "model")
+    assert tuple(trace["b"]["scale"].spec) == ()
+    # non-params-like leaves (if any) replicate; adam's count does
+    tx2 = optax.adam(1e-3)
+    opt2 = tx2.init(params)
+    opt_sh2 = _opt_shardings(opt2, params, p_sh, mesh)
+    assert tuple(opt_sh2[0].count.spec) == ()
+    assert tuple(opt_sh2[0].mu["a"]["kernel"].spec) == (None, "model")
+    assert tuple(opt_sh2[0].nu["b"]["scale"].spec) == ()
+
+    # the shardings must actually be placeable on the opt state
+    placed = jax.device_put(opt2, opt_sh2)
+    assert isinstance(
+        jax.tree_util.tree_leaves(placed)[0].sharding, NamedSharding)
+    del P
+
+
 def test_batch_sharding_places_batch_on_data_axis():
     mesh = make_mesh(jax.devices()[:8], model=1)
     x, _ = _data(batch=8)
