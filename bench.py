@@ -47,6 +47,52 @@ except Exception:
 PEAK_BF16_FLOPS = 197e12  # TPU v5e
 
 
+def wait_for_backend(timeout_s=None, poll_s=30, probe_timeout=150):
+    """Block until the accelerator backend answers a trivial computation.
+
+    The axon tunnel's observed failure modes are (a) fail-fast
+    RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE") and
+    (b) an indefinite hang on first device contact; both recover within
+    10-20 min (round-3 notes). Probing in a SUBPROCESS covers both: a hang
+    is bounded by `probe_timeout` and a failed init isn't cached into this
+    process's jax. Polls every `poll_s` seconds for up to `timeout_s`
+    (default 480, override DAU_BENCH_BACKEND_WAIT_S; 0 disables waiting).
+    """
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DAU_BENCH_BACKEND_WAIT_S", 480))
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.block_until_ready(jnp.ones((128, 128)).sum());"
+            "print('BACKEND_OK', jax.devices()[0])")
+    deadline = time.monotonic() + timeout_s
+    attempt = 0
+    while True:
+        attempt += 1
+        err = "unknown"
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if r.returncode == 0 and "BACKEND_OK" in r.stdout:
+                if attempt > 1:
+                    print(f"bench: backend recovered on attempt {attempt}",
+                          file=sys.stderr)
+                return
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            err = tail[-1] if tail else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"probe hung > {probe_timeout}s (wedged tunnel?)"
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"accelerator backend unavailable after {attempt} probes "
+                f"over {timeout_s:.0f}s; last error: {err}")
+        print(f"bench: backend not ready (attempt {attempt}: {err}); "
+              f"retrying in {poll_s}s", file=sys.stderr)
+        time.sleep(poll_s)
+
+
 def _default_engine(model: str) -> str:
     """Production engine per benchmark: the Fourier engine wins the model
     benchmark at every AlexNet layer shape (PERF_NOTES.md round-2 table);
@@ -207,7 +253,7 @@ def bench_alexnet(args):
         "detail": {
             "dau_step_ms": round(t_dau * 1e3, 3),
             "conv3x3_step_ms": round(t_conv * 1e3, 3),
-            # the three differenced pair values behind each median: the conv
+            # the five differenced pair values behind each median: the conv
             # baseline swings up to ~20% pair-to-pair, so round-over-round
             # headline deltas should be read against this spread
             "dau_step_pairs_ms": dau_pairs,
@@ -309,6 +355,10 @@ def main():
         args.engine = _default_engine(args.model)
     if args.iters is None:
         args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
+
+    # survive a transiently wedged axon tunnel before first backend use
+    # (round 3's official bench crashed rc=1 on exactly this)
+    wait_for_backend()
 
     if args.model == "alexnet":
         bench_alexnet(args)
