@@ -24,3 +24,37 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# The quick tier (`pytest -m quick`): a <2-min edit-loop subset - the cheap
+# unit files whole, the QUICK differential matrix, and one seed per engine
+# per fuzz family. CI stays on the full suite (no -m).
+_QUICK_FILES = {
+    "test_utils.py", "test_checkpoint.py", "test_data.py",
+    "test_export.py", "test_shared.py", "test_round2_features.py",
+}
+_QUICK_TESTS = (
+    "test_op_vs_oracle.py::test_quick",
+    "test_full_matrix.py::test_reference_quick_matrix",
+    "test_op_vs_oracle.py::test_shim_off[",
+    "test_distributed.py::test_eight_devices_available",
+    "test_distributed.py::test_opt_shardings_keyed_by_tree_path",
+    "test_distributed.py::test_param_shardings_shard_f_axis",
+    "test_distributed.py::test_batch_sharding_places_batch_on_data_axis",
+    "test_grad_checks.py::test_check_grads",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.nodeid.split("/")[-1]
+        base = fname.split("::")[0]
+        is_quick = base in _QUICK_FILES or any(
+            fname.startswith(t) for t in _QUICK_TESTS)
+        # one seed per engine per fuzz family (engine alternates with seed)
+        if base == "test_fuzz.py" and (fname.endswith("[0]")
+                                       or fname.endswith("[1]")):
+            is_quick = True
+        if is_quick:
+            item.add_marker(pytest.mark.quick)
