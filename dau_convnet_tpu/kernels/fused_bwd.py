@@ -532,7 +532,9 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         return total
 
     if vmem_budget is None:
-        vmem_budget = 100 * 1024 * 1024
+        # mirror the phi path: the dx outputs add ~10 MB at the model
+        # shapes and a 100 MB budget forces needless chunking
+        vmem_budget = (112 if has_dx else 100) * 1024 * 1024
     k1_blk = None
     if footprint(p1b) <= vmem_budget:
         k1_blk = p1b

@@ -30,22 +30,30 @@ def save_params_npz(path: str, **trees: tp.Any) -> None:
     flat = {}
     for prefix, tree in trees.items():
         for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            key = prefix + "/" + "/".join(k.key for k in kp)
+            # DictKey has .key, SequenceKey .idx, GetAttrKey .name - cover
+            # non-dict containers instead of assuming dict-only pytrees
+            names = [str(getattr(k, "key", getattr(k, "idx",
+                                                   getattr(k, "name", k))))
+                     for k in kp]
+            key = "/".join([prefix] + names)
             flat[key] = np.asarray(leaf)
     np.savez(path, **flat)
 
 
 def load_params_npz(path: str) -> tp.Dict[str, tp.Any]:
-    """Inverse of `save_params_npz`: returns {tree_name: nested dict}."""
+    """Inverse of `save_params_npz`: returns {tree_name: nested dict}.
+
+    Non-dict containers saved by `save_params_npz` come back as dicts keyed
+    by their stringified index/attr name (the npz format is path-flat)."""
     import numpy as np
-    d = np.load(path)
     trees: tp.Dict[str, tp.Any] = {}
-    for key in d.files:
-        parts = key.split("/")
-        node = trees.setdefault(parts[0], {})
-        for p in parts[1:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = d[key]
+    with np.load(path) as d:
+        for key in d.files:
+            parts = key.split("/")
+            node = trees.setdefault(parts[0], {})
+            for p in parts[1:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = d[key]
     return trees
 
 

@@ -37,14 +37,19 @@ import time
 
 import numpy as np
 
-if "--device" in sys.argv:
-    _dev = sys.argv[sys.argv.index("--device") + 1]
-    if _dev == "cpu":
-        # must run before the first backend use; the axon sitecustomize
-        # overrides JAX_PLATFORMS, so force it via jax.config
-        import jax as _jax
+# Pre-argparse scan so the platform is forced before the first backend use
+# (the axon sitecustomize overrides JAX_PLATFORMS, so it must go through
+# jax.config). Handles both `--device cpu` and `--device=cpu`.
+_dev = None
+for _i, _a in enumerate(sys.argv):
+    if _a == "--device" and _i + 1 < len(sys.argv):
+        _dev = sys.argv[_i + 1]
+    elif _a.startswith("--device="):
+        _dev = _a.split("=", 1)[1]
+if _dev == "cpu":
+    import jax as _jax
 
-        _jax.config.update("jax_platforms", "cpu")
+    _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +112,10 @@ def load_data(args):
             xt = (d["x_test"].astype(np.float32) / 255.0 - 0.5).transpose(0, 3, 1, 2)
             yt = d["y_test"].astype(np.int32).reshape(-1)
         else:
+            # shuffle before the 90/10 carve: a class-sorted npz would
+            # otherwise yield a single-class test set
+            perm = np.random.default_rng(0).permutation(len(x))
+            x, y = x[perm], y[perm]
             n = int(len(x) * 0.9)
             x, xt, y, yt = x[:n], x[n:], y[:n], y[n:]
         return x, y, xt, yt
