@@ -90,12 +90,22 @@ class DAUConvSettings:
     # under jit shapes must be static). None = derive from kernel_size.
     static_max_offset: tp.Optional[float] = None
     # Fused Pallas backward kernel policy for the fourier engine:
-    # 'auto' = use it when the measured gate says it wins (TPU, single
-    # device, VMEM plan exists); 'on' = force (still requires a plan);
-    # 'off' = always the unfused XLA path. A config field, NOT an env var:
-    # trace-time env reads bake silently into cached executables
+    # 'auto' = use it when the measured gate says it wins (TPU backend,
+    # VMEM plan exists, bin-count gate for the phi gather); 'on' = force
+    # (still requires a plan; runs the kernel in interpret mode off-TPU);
+    # 'off' = always the unfused XLA path. Under a mesh context (see
+    # `data_axis`) the kernel runs per-shard inside `jax.shard_map` over
+    # the data axis with a psum closing the unit-grad reduction - sharded
+    # training keeps the production kernel. A config field, NOT an env
+    # var: trace-time env reads bake silently into cached executables
     # (round-2 advisory).
     fused_bwd: str = "auto"
+    # Mesh axis the batch is sharded over (parallel.make_mesh's default
+    # name). When the ambient mesh (jax.sharding.set_mesh /
+    # parallel.make_train_step) carries this axis, the fused backward is
+    # shard_map-wrapped over it instead of falling back to the unfused
+    # path.
+    data_axis: str = "data"
     # Emit the input gradient from the SAME fused backward kernel invocation
     # (the unit phase factors already live in VMEM there; requires
     # use_interpolation): 'on' = whenever the fused backward runs, 'off' =
@@ -368,6 +378,57 @@ def _reduce_to_shape(g, shape):
     return g.reshape(shape)
 
 
+def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
+                      gy_blur=None, w_units=None):
+    """Invoke the fused backward kernel, optionally shard_mapped over the
+    data axis of the ambient mesh.
+
+    route='direct': plain call (single device, or forced).
+    route='shard_map': per-shard kernel over `cfg.data_axis` - the unit-grad
+    reduction over images is linear, so each shard reduces its local batch
+    and a psum over the axis completes it; dx stays batch-sharded. Params
+    and the phase tables replicate into the region (under TP the F axis is
+    gathered - the kernel itself stays DP-partitioned, documented
+    limitation). This is the TPU-native replacement for what the reference
+    never had (single-GPU library): the production kernel running under
+    data parallelism (SURVEY.md section 2.3 plan).
+    """
+    from . import fourier_engine
+
+    def call(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_):
+        return fourier_engine.fourier_unit_grads_fused2(
+            xb_, gy_, mu13_, mu23_, cfg.synth_kernel_size,
+            cfg.use_interpolation, precision=cfg.lax_precision,
+            err_blur=gy_blur_, w_units=w_units_, gather=cfg.fused_gather)
+
+    if route == "direct":
+        return call(xb, gy, mu13, mu23, gy_blur, w_units)
+
+    from jax.sharding import PartitionSpec as P
+    am = jax.sharding.get_abstract_mesh()
+    axis = cfg.data_axis
+    with_dx = gy_blur is not None
+    if with_dx:
+        def local(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_):
+            g, dx = call(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_)
+            return jax.lax.psum(g, axis), dx
+
+        return jax.shard_map(
+            local, mesh=am,
+            in_specs=(P(None, axis), P(axis), P(), P(), P(axis), P()),
+            out_specs=(P(), P(axis)), check_vma=False,
+        )(xb, gy, mu13, mu23, gy_blur, w_units)
+
+    def local(xb_, gy_, mu13_, mu23_):
+        return jax.lax.psum(call(xb_, gy_, mu13_, mu23_, None, None), axis)
+
+    return jax.shard_map(
+        local, mesh=am,
+        in_specs=(P(None, axis), P(axis), P(), P()),
+        out_specs=P(), check_vma=False,
+    )(xb, gy, mu13, mu23)
+
+
 def _bwd_rule(cfg: DAUConvSettings, res, gy):
     x, w, mu1, mu2, sigma, phi = res
     w3, mu13, mu23, had_lead = _squeeze_params(w, mu1, mu2)
@@ -428,9 +489,6 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         from . import fourier_engine
         from ..kernels.fused_bwd import FusedPlanError
         grads = None
-        # Single-device TPU only: under multi-device auto-pjit, GSPMD
-        # cannot partition the custom call (it would replicate the batch);
-        # sharded runs keep the unfused XLA form, which partitions cleanly.
         # The phi gather's in-VMEM phase temporaries scale with
         # bins x s_blk x f_blk, so in 'auto' it gates on bin count
         # (measured conv4 B=153: 0.84 vs 1.37 ms, conv2 B=496: 0.94 vs
@@ -438,38 +496,51 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # bin count - no gate (the VMEM plan itself rejects what won't fit).
         p1_, p2_, rb_ = fourier_engine.plan_bins(
             h, w_sp, cfg.synth_kernel_size)
-        fused_ok = (cfg.fused_bwd != "off"
-                    and jax.default_backend() == "tpu"
-                    and jax.device_count() == 1
-                    and (p1_ * rb_ <= 256
-                         if (cfg.fused_bwd == "auto"
-                             and cfg.fused_gather == "phi")
-                         else True))
+        fused_ok = (cfg.fused_bwd == "on"
+                    or (cfg.fused_bwd == "auto"
+                        and jax.default_backend() == "tpu"
+                        and (p1_ * rb_ <= 256
+                             if cfg.fused_gather == "phi" else True)))
+        # Routing: GSPMD cannot partition the opaque Mosaic custom call, so
+        # under a mesh context the kernel call is shard_map-wrapped over the
+        # batch ('data') axis - per-shard batch is the only partitioned dim
+        # the kernel sees under DP, and a psum closes the unit-grad
+        # reduction. Without a mesh context the multi-device case keeps the
+        # unfused XLA form (which partitions cleanly); with a mesh the gate
+        # reads NO global device state - only the ambient AbstractMesh, which
+        # is part of the trace.
+        route = None
         if fused_ok:
+            am = jax.sharding.get_abstract_mesh()
+            if (not am.empty and cfg.data_axis in am.axis_names
+                    and am.shape[cfg.data_axis] > 1):
+                if n % am.shape[cfg.data_axis] == 0:
+                    route = "shard_map"
+            elif jax.device_count() == 1 or cfg.fused_bwd == "on":
+                route = "direct"
+        if route is not None:
+            with_dx = fourier_dx_ok and cfg.fused_dx == "on"
+            # dx from the same kernel: the in-VMEM phase factors serve both
+            # the unit-grad gather and the input-grad f-contraction (no HBM
+            # phi read for dx at all)
+            gy_blur = (_blur(cfg, gy, sigma_value, "error") if with_dx
+                       else None)
             try:
-                if fourier_dx_ok and cfg.fused_dx == "on":
-                    # dx from the same kernel: the in-VMEM phase factors
-                    # serve both the unit-grad gather and the input-grad
-                    # f-contraction (no HBM phi read for dx at all)
-                    gy_blur = _blur(cfg, gy, sigma_value, "error")
-                    grads, dx = fourier_engine.fourier_unit_grads_fused2(
-                        xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
-                        cfg.use_interpolation, precision=cfg.lax_precision,
-                        err_blur=gy_blur, w_units=w3m.astype(xb.dtype),
-                        gather=cfg.fused_gather)
+                res = _fused_grads_call(
+                    cfg, route, xb, gy_for_params, mu13, mu23,
+                    gy_blur, w3m.astype(xb.dtype) if with_dx else None)
+                if with_dx:
+                    grads, dx = res
                     dx = dx.astype(x.dtype)
                 else:
-                    grads = fourier_engine.fourier_unit_grads_fused2(
-                        xb, gy_for_params, mu13, mu23, cfg.synth_kernel_size,
-                        cfg.use_interpolation, precision=cfg.lax_precision,
-                        gather=cfg.fused_gather)
+                    grads = res
             except FusedPlanError:  # no VMEM plan for this shape
                 grads = None
         _log.info(
             "dau bwd %dx%d S=%d F=%d B=%d: %s",
             h, w_sp, s_ch, f_ch, p1_ * rb_,
             ("unfused spectral gather" if grads is None else
-             f"fused kernel (gather={cfg.fused_gather}, "
+             f"fused kernel (route={route}, gather={cfg.fused_gather}, "
              f"dx={'fused' if dx is not None else 'separate'})"))
         if grads is None:
             grads = fourier_engine.fourier_unit_grads(

@@ -121,9 +121,20 @@ def make_train_step(model, tx, mesh: Mesh, state_shardings,
         extra = new_extra if mutable else state.extra_vars
         return TrainState(params, opt_state, state.step + 1, extra), loss
 
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(state_shardings, data_sh, data_sh),
         out_shardings=(state_shardings, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+    # Run (and therefore trace) under the mesh context: the DAU op's fused
+    # backward discovers the ambient AbstractMesh at trace time and
+    # shard_maps its Pallas kernel over the data axis instead of falling
+    # back to the unfused path (ops/dau_conv.py::_fused_grads_call).
+    def sharded_step(state, x, labels):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(state, x, labels)
+
+    sharded_step.jitted = jitted
+    return sharded_step
