@@ -43,6 +43,10 @@ class DAUCifarNet(nn.Module):
     # keep drifting and a 10k-step-stale running estimate ends up ~80x off
     # the live batch variance (measured: docs/TRAINING_RESULTS.md).
     bn_momentum: float = 0.9999
+    # learn the layer-shared sigma (off by default, like the reference's
+    # dau_sigma_trainable, dau_conv.py:254); the op clips a trainable
+    # sigma into [0.3, blur-filter support] so it cannot silently truncate
+    dau_sigma_trainable: bool = False
     dtype: tp.Any = jnp.float32
 
     @nn.compact
@@ -60,6 +64,7 @@ class DAUCifarNet(nn.Module):
                 max_kernel_size=self.max_kernel_size,
                 static_max_offset=self.static_max_offset,
                 mu_learning_rate_factor=self.mu_learning_rate_factor,
+                dau_sigma_trainable=self.dau_sigma_trainable,
                 normalizer_fn=norm, biases_initializer=None,
                 weights_initializer=nn.initializers.xavier_normal(),
                 name=f"dau_conv{i + 1}", dtype=self.dtype)

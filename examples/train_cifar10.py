@@ -156,6 +156,10 @@ def main():
                          "reference's 0.9999 (a ~10k-step horizon, "
                          "README.md:252) down to the run length so eval-mode "
                          "running stats can actually converge")
+    ap.add_argument("--sigma-trainable", action="store_true",
+                    help="learn the layer-shared sigma (reference "
+                         "dau_sigma_trainable, dau_conv.py:254); the op "
+                         "clips it into [0.3, blur support]")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", choices=["default", "cpu"], default="default",
                     help="cpu forces the CPU backend (handled pre-import)")
@@ -178,7 +182,8 @@ def main():
     if args.arch == "conv":
         net = ConvCifarNet(train=True, bn_momentum=bn_momentum)
     else:
-        net = DAUCifarNet(train=True, bn_momentum=bn_momentum)
+        net = DAUCifarNet(train=True, bn_momentum=bn_momentum,
+                          dau_sigma_trainable=args.sigma_trainable)
     print(f"arch={args.arch} train={len(x_all)} test={len(x_test)} "
           f"steps={total_steps} ({steps_per_epoch}/epoch) "
           f"bn_momentum={bn_momentum:.4f}", flush=True)
@@ -275,14 +280,19 @@ def main():
 
     final_acc = test_accuracy(params, batch_stats)
     wall = time.time() - t0
-    print(json.dumps({
+    result = {
         "arch": args.arch,
         "dataset": "cifar10-npz" if args.data_npz else args.dataset,
         "steps": total_steps,
         "test_accuracy": round(float(final_acc), 4),
         "wall_s": round(wall, 1),
         "device": str(jax.devices()[0]),
-    }), flush=True)
+    }
+    if args.arch == "dau":
+        result["sigma"] = {k: round(float(np.asarray(v["sigma"])[0]), 4)
+                           for k, v in params.items() if "sigma" in v}
+        result["sigma_trainable"] = bool(args.sigma_trainable)
+    print(json.dumps(result), flush=True)
 
     if args.save_params:
         save_params_npz(args.save_params, params, batch_stats)
