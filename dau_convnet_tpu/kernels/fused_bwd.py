@@ -292,32 +292,45 @@ def _kernel_spectral(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
 
 
 def _kernel_factored(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
-                     n_k1: int, g_units: int, hi_precision: bool,
+                     n_k1: int, g_units: int, c_blk: int, hi_precision: bool,
                      has_dx: bool):
     """One (si, fj, kc) grid step of the factored-gather backward.
 
     xs/es/esb/wg/out/out2/tre/tim: as in _kernel_spectral (but out has NO
     per-chunk partial dim and out2 is the full-B block for this si).
-    t1cT/t1sT: (1, nj, k1_blk) pre-transposed, pre-chunked axis-1 tables
-      (blocked by kc; pad rows are zero).
-    t2cT/t2sT: (nj, rb) pre-transposed axis-2 tables (coef folded).
+    t2cT/t2sT: (nj, rb) pre-transposed axis-2 tables (coef folded; used for
+      the <c_blk remainder k1 rows).
+    t2cblk/t2sblk: (nj*C, C*rb) block-diagonal axis-2 tables - C k1 rows'
+      k2-contractions batched into ONE MXU dot (rows (j2, c)-major, cols
+      (c, k2)-major). The per-row form was fill/drain-bound: 204 skinny
+      (nj, rb) dots per grid step at conv4 cost ~0.6 ms over the phi
+      gather (PERF_NOTES round 3).
+    t1cblk/t1sblk: (1, nj*nj, nj*k1_blk) kc-chunked block-diagonal axis-1
+      tables - the whole E stage is ONE dot per (m, cos/sin) against the
+      flattened (nj*k1_blk, s_blk, f_blk) P/Q scratch (rows (j2, k1)-major,
+      matching the table's cols; the flatten merges two UNTILED leading
+      dims, a layout no-op).
     t1c/t1s (p1_pad, nj) + t2 (2rb, nj): only with has_dx (py/px factors).
-    p_buf/q_buf: (nj, k1_blk, s_blk, f_blk) per-m k2-contracted spectra.
+    p_buf/q_buf: (nj, k1_blk, s_blk, f_blk) per-m k2-contracted spectra,
+      (j2, k1)-major.
     e_buf: (m or 1, nj, nj, s_blk, f_blk) f32 E accumulator; single-chunk
       plans keep only one m slot (combine runs inside the m loop).
     """
     if has_dx:
-        (xs_ref, es_ref, esb_ref, wg_ref, t1cT_ref, t1sT_ref, t2cT_ref,
-         t2sT_ref, t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
+        (xs_ref, es_ref, esb_ref, wg_ref, t2cT_ref, t2sT_ref,
+         t2cblk_ref, t2sblk_ref, t1cblk_ref, t1sblk_ref,
+         t1c_ref, t1s_ref, t2_ref, a1_ref, a2_ref,
          out_ref, out2_ref, tre_buf, tim_buf, p_buf, q_buf, e_buf,
          pyre_buf, pyim_buf) = refs
     else:
-        (xs_ref, es_ref, t1cT_ref, t1sT_ref, t2cT_ref, t2sT_ref,
+        (xs_ref, es_ref, t2cT_ref, t2sT_ref,
+         t2cblk_ref, t2sblk_ref, t1cblk_ref, t1sblk_ref,
          a1_ref, a2_ref, out_ref, tre_buf, tim_buf, p_buf, q_buf,
          e_buf) = refs
     fj = pl.program_id(1)
     kc = pl.program_id(2)
     s_blk = a1_ref.shape[2]
+    f_blk = a1_ref.shape[3]
     kb_c = k1_blk * rbb
     cdt = xs_ref.dtype
     nj = t2cT_ref.shape[0]
@@ -345,22 +358,26 @@ def _kernel_factored(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
 
     jax.lax.fori_loop(0, k1_blk, cross_body, 0, unroll=False)
 
-    t1cT = t1cT_ref[0]                            # (nj, k1_blk)
-    t1sT = t1sT_ref[0]
     t2cT = t2cT_ref[...]                          # (nj, rb)
     t2sT = t2sT_ref[...]
+    t2cblk = t2cblk_ref[...]                      # (nj*C, C*rb)
+    t2sblk = t2sblk_ref[...]
+    t1cblk = t1cblk_ref[0]                        # (nj*nj, nj*k1_blk)
+    t1sblk = t1sblk_ref[0]
     single = n_k1 == 1
+    n_full = k1_blk // c_blk
 
-    def combine_m(mi, e_mi):
-        """grad[g] = sum_{j1,j2} a2[g,j1] a1[g,j2] E[j1,j2] for one m."""
+    def combine_m(mi, ev):
+        """grad[g] = sum_{j1,j2} a2[g,j1] a1[g,j2] E[j1,j2] for one m
+        (ev: the (nj, nj, s_blk, f_blk) E value, (j2, j1)-indexed)."""
         def unit(gi):
             a1g = a1_ref[gi].astype(jnp.float32)  # (nj, s_blk, f_blk)
             a2g = a2_ref[gi].astype(jnp.float32)
-            acc = jnp.zeros_like(e_buf[e_mi, 0, 0])
+            acc = jnp.zeros((s_blk, f_blk), jnp.float32)
             for j1 in range(nj):
-                inner = a1g[0] * e_buf[e_mi, 0, j1]
+                inner = a1g[0] * ev[0, j1]
                 for j2 in range(1, nj):
-                    inner = inner + a1g[j2] * e_buf[e_mi, j2, j1]
+                    inner = inner + a1g[j2] * ev[j2, j1]
                 acc = acc + a2g[j1] * inner
             out_ref[mi, gi] = acc
 
@@ -376,6 +393,21 @@ def _kernel_factored(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
     for mi in range(m_filt):
         sl = slice(mi * s_blk, (mi + 1) * s_blk)
 
+        # k2-contraction: C k1 rows per block-diagonal dot, the <C tail
+        # via the per-row form (both write the (j2, k1)-major p/q scratch)
+        for i in range(n_full):
+            r0 = i * c_blk * rbb
+            tr = tre_buf[pl.ds(r0, c_blk * rbb), sl]
+            ti = tim_buf[pl.ds(r0, c_blk * rbb), sl]
+            pc = dot(t2cblk, tr, dn1)             # (nj*C, s_blk, f_blk) f32
+            ps = dot(t2sblk, tr, dn1)
+            qc = dot(t2cblk, ti, dn1)
+            qs = dot(t2sblk, ti, dn1)
+            p_buf[:, pl.ds(i * c_blk, c_blk)] = (
+                (pc - qs).reshape(nj, c_blk, s_blk, f_blk).astype(cdt))
+            q_buf[:, pl.ds(i * c_blk, c_blk)] = (
+                (ps + qc).reshape(nj, c_blk, s_blk, f_blk).astype(cdt))
+
         def row_body(i, carry):
             k0 = i * rbb
             tr = tre_buf[pl.ds(k0, rbb), sl]
@@ -388,30 +420,32 @@ def _kernel_factored(*refs, n_img: int, m_filt: int, rbb: int, k1_blk: int,
             q_buf[:, pl.ds(i, 1)] = (ps + qc)[:, None].astype(cdt)
             return carry
 
-        jax.lax.fori_loop(0, k1_blk, row_body, 0, unroll=False)
+        if n_full * c_blk < k1_blk:
+            jax.lax.fori_loop(n_full * c_blk, k1_blk, row_body, 0,
+                              unroll=False)
 
-        e_mi = 0 if single else mi
-        for j2 in range(nj):
-            ej2 = (dot(t1cT, p_buf[j2], dn1)
-                   - dot(t1sT, q_buf[j2], dn1))
-            if single:
-                e_buf[e_mi, j2] = ej2
-            else:
-                @pl.when(kc == 0)
-                def _():
-                    e_buf[e_mi, j2] = ej2
-
-                @pl.when(kc > 0)
-                def _():
-                    e_buf[e_mi, j2] = e_buf[e_mi, j2] + ej2
+        # E stage: ONE dot per (cos/sin) against the flattened scratch
+        pv = p_buf[...].reshape(nj * k1_blk, s_blk, f_blk)
+        qv = q_buf[...].reshape(nj * k1_blk, s_blk, f_blk)
+        e4 = (dot(t1cblk, pv, dn1)
+              - dot(t1sblk, qv, dn1)).reshape(nj, nj, s_blk, f_blk)
         if single:
-            combine_m(mi, 0)
+            # no accumulator: e4 feeds the combine directly
+            combine_m(mi, e4)
+        else:
+            @pl.when(kc == 0)
+            def _():
+                e_buf[mi] = e4
+
+            @pl.when(kc > 0)
+            def _():
+                e_buf[mi] = e_buf[mi] + e4
 
     if not single:
         @pl.when(kc == n_k1 - 1)
         def _():
             for mi in range(m_filt):
-                combine_m(mi, mi)
+                combine_m(mi, e_buf[mi])
 
     if has_dx:
         # per-unit input-grad spectra, accumulated into the full-B out2
@@ -512,6 +546,24 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     itemsize = jnp.dtype(xs.dtype).itemsize
     f_blk, s_blk = _block_shapes(f, s, interpret)
 
+    if vmem_budget is None:
+        # mirror the phi path's dx headroom; the no-dx form also runs at
+        # 112 MB (Mosaic's limit is 124) - the blocked P/Q dot temporaries
+        # are worth more single-chunk room than the phi path needs
+        vmem_budget = 112 * 1024 * 1024
+
+    # C chooser: the largest power of two whose live f32 P/Q block-dot
+    # outputs (4 dots + 2 merges of (nj*C, s_blk, f_blk)) stay within a
+    # third of the budget. The peak transient set is max(P/Q stage,
+    # E stage: 2 dots + 1 merge of (nj^2, s_blk, f_blk)).
+    temp_cap = vmem_budget // 3
+    c_cap = 1
+    while (c_cap * 2 * rbb <= 256
+           and 6 * nj * c_cap * 2 * s_blk * f_blk * 4 <= temp_cap):
+        c_cap *= 2
+    blk_tmp = max(6 * nj * c_cap * s_blk * f_blk * 4,
+                  3 * nj * nj * s_blk * f_blk * 4)
+
     def footprint(k1_blk):
         kb_c = k1_blk * rbb
         single = k1_blk >= p1b
@@ -520,8 +572,9 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         es_b = 2 * kb_c * n2 * f_blk * itemsize
         t_b = 2 * kb_c * m * s_blk * f_blk * itemsize
         pq_b = 2 * nj * k1_blk * s_blk * f_blk * itemsize
-        e_b = (1 if single else m) * nj * nj * s_blk * f_blk * 4
-        row_b = 6 * rbb * s_blk * f_blk * 4     # pc/ps/qc/qs + p/q temps
+        # single-chunk plans skip the E accumulator (e4 feeds the combine)
+        e_b = 0 if single else m * nj * nj * s_blk * f_blk * 4
+        row_b = max(6 * rbb * s_blk * f_blk * 4, blk_tmp)
         a_b = 4 * nj * g * s_blk * f_blk * itemsize
         total = xs_b + es_b + t_b + pq_b + e_b + row_b + a_b
         if has_dx:
@@ -531,10 +584,6 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
             total += 5 * rbb * s_blk * f_blk * 4        # px / w*phi temps
         return total
 
-    if vmem_budget is None:
-        # mirror the phi path: the dx outputs add ~10 MB at the model
-        # shapes and a 100 MB budget forces needless chunking
-        vmem_budget = (112 if has_dx else 100) * 1024 * 1024
     k1_blk = None
     if footprint(p1b) <= vmem_budget:
         k1_blk = p1b
@@ -574,10 +623,24 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     t2cT = jnp.transpose(t2[:rbb])                # (nj, rb)
     t2sT = jnp.transpose(t2[rbb:])
 
+    # Block-diagonal batched tables: C k1 rows per k2-contraction dot and
+    # the whole E stage as one dot per cos/sin (see _kernel_factored).
+    c_blk = min(c_cap, 1 << (k1_blk.bit_length() - 1))
+    eye_c = jnp.eye(c_blk, dtype=t2cT.dtype)
+    t2cblk = (t2cT[:, None, None, :] * eye_c[None, :, :, None]
+              ).reshape(nj * c_blk, c_blk * rbb)
+    t2sblk = (t2sT[:, None, None, :] * eye_c[None, :, :, None]
+              ).reshape(nj * c_blk, c_blk * rbb)
+    eye_j = jnp.eye(nj, dtype=t1cT.dtype)
+    t1cblk = (eye_j[None, :, None, :, None] * t1cT[:, None, :, None, :]
+              ).reshape(n_k1, nj * nj, nj * k1_blk)
+    t1sblk = (eye_j[None, :, None, :, None] * t1sT[:, None, :, None, :]
+              ).reshape(n_k1, nj * nj, nj * k1_blk)
+
     grid = (s // s_blk, f // f_blk, n_k1)
     kern = functools.partial(
         _kernel_factored, n_img=n_img, m_filt=m, rbb=rbb, k1_blk=k1_blk,
-        n_k1=n_k1, g_units=g,
+        n_k1=n_k1, g_units=g, c_blk=c_blk,
         hi_precision=(jnp.dtype(xs.dtype) == jnp.float32), has_dx=has_dx)
     in_specs = [
         pl.BlockSpec((kb_c, m, n2, s_blk),
@@ -596,17 +659,24 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         ]
         operands += [esb.astype(xs.dtype), wg.astype(xs.dtype)]
     in_specs += [
-        pl.BlockSpec((1, nj, k1_blk), lambda si, fj, kc: (kc, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nj, k1_blk), lambda si, fj, kc: (kc, 0, 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec((nj, rbb), lambda si, fj, kc: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((nj, rbb), lambda si, fj, kc: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nj * c_blk, c_blk * rbb), lambda si, fj, kc: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nj * c_blk, c_blk * rbb), lambda si, fj, kc: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nj * nj, nj * k1_blk),
+                     lambda si, fj, kc: (kc, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nj * nj, nj * k1_blk),
+                     lambda si, fj, kc: (kc, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands += [t1cT.astype(xs.dtype), t1sT.astype(xs.dtype),
-                 t2cT.astype(xs.dtype), t2sT.astype(xs.dtype)]
+    operands += [t2cT.astype(xs.dtype), t2sT.astype(xs.dtype),
+                 t2cblk.astype(xs.dtype), t2sblk.astype(xs.dtype),
+                 t1cblk.astype(xs.dtype), t1sblk.astype(xs.dtype)]
     if has_dx:
         in_specs += [
             pl.BlockSpec((p1p, nj), lambda si, fj, kc: (0, 0),
@@ -643,7 +713,10 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         pltpu.VMEM((kb_c, m * s_blk, f_blk), xs.dtype),
         pltpu.VMEM((nj, k1_blk, s_blk, f_blk), xs.dtype),
         pltpu.VMEM((nj, k1_blk, s_blk, f_blk), xs.dtype),
-        pltpu.VMEM((1 if n_k1 == 1 else m, nj, nj, s_blk, f_blk),
+        # single-chunk plans never touch the E accumulator (the E value
+        # feeds the combine directly); a minimal dummy keeps the signature
+        pltpu.VMEM((1, 1, 1, min(8, s_blk), min(128, f_blk))
+                   if n_k1 == 1 else (m, nj, nj, s_blk, f_blk),
                    jnp.float32),
     ]
     if has_dx:
