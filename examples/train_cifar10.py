@@ -80,6 +80,46 @@ def synthetic_cifar(n=2048, num_classes=10, seed=0):
     return x, y.astype(np.int32), x[:512], y[:512].astype(np.int32)
 
 
+def synthetic_spatial(n=50000, num_classes=10, seed=0, n_test=2000):
+    """CIFAR-scale spatial-RELATION task (zero-egress stand-in for real
+    CIFAR at full 50k x 32x32x3 scale): every image contains two identical
+    Gaussian blobs; the class is encoded ONLY in the displacement vector
+    between them (angle = class * 2pi/10, radius 9px, +-1px jitter), at a
+    random absolute position, polarity-randomized per blob pair, over
+    pixel noise with a distractor blob. No class-dependent color/intensity
+    statistics exist, so a classifier must integrate features at
+    class-specific relative offsets - the aggregation-by-displacement
+    regime DAUs target (reference paper positioning) - rather than match
+    local appearance."""
+    rng = np.random.default_rng(seed)
+    total = n + n_test
+    y = rng.integers(0, num_classes, (total,))
+    size = 32
+    r = 9.0
+    ang = 2 * np.pi * y / num_classes
+    jitter = rng.uniform(-1, 1, (2, total))
+    dx = r * np.cos(ang) + jitter[0]
+    dy = r * np.sin(ang) + jitter[1]
+    # blob A center anywhere such that both blobs stay in-frame
+    ax = rng.uniform(np.maximum(3, 3 - dx), np.minimum(size - 3, size - 3 - dx))
+    ay = rng.uniform(np.maximum(3, 3 - dy), np.minimum(size - 3, size - 3 - dy))
+    bx, by = ax + dx, ay + dy
+    # distractor at an unrelated position
+    cx = rng.uniform(3, size - 3, total)
+    cy = rng.uniform(3, size - 3, total)
+    sign = rng.choice([-1.0, 1.0], total).astype(np.float32)
+    ii = np.arange(size, dtype=np.float32)
+    x = rng.normal(0, 0.3, (total, size, size)).astype(np.float32)
+    for px, py, amp in ((ax, ay, sign), (bx, by, sign), (cx, cy, 0.7 * sign)):
+        gx = np.exp(-0.5 * ((ii[None, :] - px[:, None]) / 1.4) ** 2)
+        gy = np.exp(-0.5 * ((ii[None, :] - py[:, None]) / 1.4) ** 2)
+        x += amp[:, None, None] * gy[:, :, None] * gx[:, None, :]
+    x = np.broadcast_to(x[:, None], (total, 3, size, size)).reshape(
+        total, 3, size, size).copy()
+    y = y.astype(np.int32)
+    return x[:n], y[:n], x[n:], y[n:]
+
+
 def digits_32x32(test_frac=0.2, seed=0):
     """sklearn's bundled digits set as 32x32x3 NCHW: each real 8x8 image is
     4x nearest-upscaled and replicated across channels; a stratified split
@@ -121,6 +161,8 @@ def load_data(args):
         return x, y, xt, yt
     if args.dataset == "digits":
         return digits_32x32()
+    if args.dataset == "spatial":
+        return synthetic_spatial(n=args.train_size)
     return synthetic_cifar()
 
 
@@ -139,8 +181,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=0.01)
-    ap.add_argument("--dataset", choices=["synthetic", "digits"],
+    ap.add_argument("--dataset", choices=["synthetic", "digits", "spatial"],
                     default="synthetic")
+    ap.add_argument("--train-size", type=int, default=50000,
+                    help="train-set size for --dataset spatial (CIFAR scale)")
     ap.add_argument("--data-npz", default=None,
                     help="real CIFAR-10 npz (overrides --dataset)")
     ap.add_argument("--arch", choices=["dau", "conv"], default="dau")
