@@ -128,6 +128,14 @@ class DAUConvSettings:
     # (B=496: 0.71 vs 0.94) but only TIES the unfused path there (0.73),
     # so the auto gate keeps conv2 unfused and the phi form elsewhere.
     fused_gather: str = "phi"
+    # Rematerialize the fourier engine's phase table in the backward
+    # instead of stashing it as a VJP residual: saves 2*B*S*F bytes of HBM
+    # per layer activation set (~45 MB at AlexNet conv4 bf16) for one extra
+    # phi build in the backward (~0.16 ms at conv4). Off by default (the
+    # measured N=32 step is compute-bound, not memory-bound); turn on for
+    # large-batch / deep configs where activation memory is the limit -
+    # the DAU analogue of jax.checkpoint on the layer.
+    remat_phi: bool = False
     # accepted-for-parity no-ops (dead in the reference):
     merge_iteration_step: int = 0
     merge_threshold: float = 1.0
@@ -362,7 +370,10 @@ def _fwd_rule(cfg, x, w, mu1, mu2, sigma):
             w3 = w3 * mask
         phi = _build_phi(cfg, x.shape[-2:], w3.astype(x.dtype), mu13, mu23)
     y = _forward_impl(cfg, x, w, mu1, mu2, sigma, phi=phi)
-    return y, (x, w, mu1, mu2, sigma, phi)
+    # remat_phi: the phase table (2*B*S*F bytes/layer) is rebuilt by the
+    # bwd rule instead of living in the residuals until the backward runs
+    res_phi = None if cfg.remat_phi else phi
+    return y, (x, w, mu1, mu2, sigma, res_phi)
 
 
 def _reduce_to_shape(g, shape):
@@ -438,6 +449,10 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
 
     sigma_value = _sigma_scalar(cfg, sigma)
     filts = _filters(cfg, sigma_value)
+
+    if cfg.engine == "fourier" and phi is None and cfg.remat_phi:
+        # rematerialized, not stashed (see DAUConvSettings.remat_phi)
+        phi = _build_phi(cfg, x.shape[-2:], w3m.astype(x.dtype), mu13, mu23)
 
     # ---- input gradient: the forward engine applied to the error with
     # S<->F transposed params, negated offsets, and the mirrored blur filter
