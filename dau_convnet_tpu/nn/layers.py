@@ -253,6 +253,9 @@ class DAUConv2d(nn.Module):
     fused_bwd: str = "auto"
     fused_dx: str = "auto"
     fused_gather: str = "phi"
+    # rebuild the fourier phase table in the backward instead of stashing
+    # it as a residual (activation-memory saver for large-batch training)
+    remat_phi: bool = False
     # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
     # (native bf16 MXU) otherwise
     precision: tp.Optional[str] = None
@@ -367,6 +370,7 @@ class DAUConv2d(nn.Module):
             fused_bwd=self.fused_bwd,
             fused_dx=self.fused_dx,
             fused_gather=self.fused_gather,
+            remat_phi=self.remat_phi,
         )
 
         sigma_tiled = jnp.broadcast_to(sigma.reshape(1, 1, 1, 1), pshape)
