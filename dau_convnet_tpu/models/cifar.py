@@ -47,6 +47,10 @@ class DAUCifarNet(nn.Module):
     # dau_sigma_trainable, dau_conv.py:254); the op clips a trainable
     # sigma into [0.3, blur-filter support] so it cannot silently truncate
     dau_sigma_trainable: bool = False
+    # 'auto' resolves per precision (DAUConvSettings); explicit 'fourier'
+    # is ~an order of magnitude fewer FLOPs at these shapes (useful for
+    # CPU-bound runs), oracle-exact at f32/highest
+    engine: str = "auto"
     dtype: tp.Any = jnp.float32
 
     @nn.compact
@@ -65,6 +69,7 @@ class DAUCifarNet(nn.Module):
                 static_max_offset=self.static_max_offset,
                 mu_learning_rate_factor=self.mu_learning_rate_factor,
                 dau_sigma_trainable=self.dau_sigma_trainable,
+                engine=self.engine,
                 normalizer_fn=norm, biases_initializer=None,
                 weights_initializer=nn.initializers.xavier_normal(),
                 name=f"dau_conv{i + 1}", dtype=self.dtype)

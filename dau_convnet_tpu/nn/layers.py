@@ -336,6 +336,16 @@ class DAUConv2d(nn.Module):
 
         if not self.dau_sigma_trainable:
             sigma = jax.lax.stop_gradient(sigma)
+        else:
+            # In-graph clip, like mu below: the op clips the EFFECTIVE
+            # sigma, but its analytic VJP returns the gradient
+            # unconditionally, so without this the raw param drifts
+            # unbounded past the floor (observed: 0.5 -> 0.18 in 30 digits
+            # steps). The clip's autodiff zeroes the out-of-range gradient
+            # - the layer analogue of the reference's in-place param
+            # bounds guard (base_dau_conv_layer.cu:33-49).
+            sigma = jnp.clip(sigma, DAUConvSettings.sigma_lower_bound,
+                             self._sigma_cap())
         if self.dau_unit_single_dim:
             # 1D DAU: mu2 pinned at zero (reference mu2 zero-constraint,
             # dau_conv.py:562-563).

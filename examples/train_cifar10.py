@@ -200,6 +200,10 @@ def main():
                          "reference's 0.9999 (a ~10k-step horizon, "
                          "README.md:252) down to the run length so eval-mode "
                          "running stats can actually converge")
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "xla", "fourier"],
+                    help="DAU engine; fourier is ~10x fewer FLOPs at these "
+                         "shapes (CPU-bound runs), oracle-exact at f32")
     ap.add_argument("--sigma-trainable", action="store_true",
                     help="learn the layer-shared sigma (reference "
                          "dau_sigma_trainable, dau_conv.py:254); the op "
@@ -227,7 +231,8 @@ def main():
         net = ConvCifarNet(train=True, bn_momentum=bn_momentum)
     else:
         net = DAUCifarNet(train=True, bn_momentum=bn_momentum,
-                          dau_sigma_trainable=args.sigma_trainable)
+                          dau_sigma_trainable=args.sigma_trainable,
+                          engine=args.engine)
     print(f"arch={args.arch} train={len(x_all)} test={len(x_test)} "
           f"steps={total_steps} ({steps_per_epoch}/epoch) "
           f"bn_momentum={bn_momentum:.4f}", flush=True)
@@ -333,8 +338,14 @@ def main():
         "device": str(jax.devices()[0]),
     }
     if args.arch == "dau":
+        # raw param + the effective (clipped) sigma the op actually uses;
+        # the raw value can sit below the 0.3 floor by a momentum tail
+        # (the in-graph clip zeroes the out-of-range gradient)
         result["sigma"] = {k: round(float(np.asarray(v["sigma"])[0]), 4)
                            for k, v in params.items() if "sigma" in v}
+        result["sigma_effective"] = {
+            k: round(min(max(v, 0.3), 1.6), 4)
+            for k, v in result["sigma"].items()}
         result["sigma_trainable"] = bool(args.sigma_trainable)
     print(json.dumps(result), flush=True)
 
