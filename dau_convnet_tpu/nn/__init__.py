@@ -6,6 +6,7 @@ from .layers import (
     ZeroNLast,
     dau_conv1d,
     dau_conv2d,
+    project_dau_params,
     set_dau_variables_manually,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "ZeroNLast",
     "dau_conv1d",
     "dau_conv2d",
+    "project_dau_params",
     "set_dau_variables_manually",
 ]

@@ -31,7 +31,36 @@ from ..ops.gaussian import blur_kernel_size
 
 __all__ = ["DAUGridMean", "ZeroNLast", "DAUConv2d", "DAUConv1d",
            "dau_conv2d", "dau_conv1d", "set_dau_variables_manually",
-           "DAU_UNITS_GROUP"]
+           "project_dau_params", "DAU_UNITS_GROUP"]
+
+
+def project_dau_params(params, *, kernel_size: int,
+                       component_border_bound: float = 0.01,
+                       sigma_lower_bound: float = 0.3,
+                       sigma_upper_bound: float = 1.6):
+    """Project DAU params back into their valid ranges after an optimizer
+    update - the functional equivalent of the reference's in-place bounds
+    guard (base_dau_conv_layer.cu:33-49), which clips the param STORAGE
+    every forward so boundary gradients keep flowing. (The layers also
+    clip in-graph, which bounds the EFFECTIVE values but freezes a raw
+    param that momentum carried past a bound - with trainable sigma, run
+    this on the params after each update.) Clips leaves named 'sigma'
+    into [sigma_lower_bound, sigma_upper_bound] and 'mu1'/'mu2' into
+    +-(kernel_size//2 - component_border_bound). jit-safe.
+    """
+    import jax
+
+    bound = kernel_size // 2 - component_border_bound
+
+    def fix(path, v):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "sigma":
+            return jnp.clip(v, sigma_lower_bound, sigma_upper_bound)
+        if name in ("mu1", "mu2"):
+            return jnp.clip(v, -bound, bound)
+        return v
+
+    return jax.tree_util.tree_map_with_path(fix, params)
 
 # the engine aggregates units in groups of 2; odd unit counts get one dummy
 # unit with zero weight and no gradient (reference dau_conv.py:223-224,

@@ -266,7 +266,14 @@ def main():
 
             (loss, (bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), bs, opt_state, loss, acc
+            params = optax.apply_updates(params, updates)
+            if args.arch == "dau":
+                # keep param STORAGE in bounds like the reference's
+                # in-place guard - boundary gradients keep flowing
+                from dau_convnet_tpu.nn import project_dau_params
+                params = project_dau_params(
+                    params, kernel_size=net.max_kernel_size)
+            return params, bs, opt_state, loss, acc
         return train_step
 
     train_step = make_train_step(net)

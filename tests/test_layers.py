@@ -255,3 +255,29 @@ def test_validate_dau_params():
     bad = dict(good, sigma=np.array([0.05]))
     with pytest.raises(ValueError, match="sigma"):
         validate_dau_params(**bad, kernel_size=9)
+
+
+def test_project_dau_params():
+    """project_dau_params clips sigma/mu leaves into their valid ranges
+    (functional analogue of the reference's in-place bounds guard,
+    base_dau_conv_layer.cu:33-49) and leaves everything else alone."""
+    from dau_convnet_tpu.nn import project_dau_params
+
+    params = {
+        "dau1": {"sigma": jnp.asarray([0.1]),
+                 "mu1": jnp.asarray([[5.0, -5.0]]),
+                 "mu2": jnp.asarray([[0.5, 2.0]]),
+                 "weights": jnp.asarray([9.9])},
+        "fc": {"kernel": jnp.asarray([7.0])},
+    }
+    out = project_dau_params(params, kernel_size=9)
+    bound = 4 - 0.01
+    np.testing.assert_allclose(np.asarray(out["dau1"]["sigma"]), [0.3])
+    np.testing.assert_allclose(np.asarray(out["dau1"]["mu1"]),
+                               [[bound, -bound]])
+    np.testing.assert_allclose(np.asarray(out["dau1"]["mu2"]), [[0.5, 2.0]])
+    np.testing.assert_allclose(np.asarray(out["dau1"]["weights"]), [9.9])
+    np.testing.assert_allclose(np.asarray(out["fc"]["kernel"]), [7.0])
+    top = float(project_dau_params(
+        {"s": {"sigma": jnp.asarray([2.5])}}, kernel_size=9)["s"]["sigma"][0])
+    np.testing.assert_allclose(top, 1.6, rtol=1e-6)
