@@ -56,13 +56,14 @@ def wait_for_backend(timeout_s=None, poll_s=30, probe_timeout=150):
     10-20 min (round-3 notes). Probing in a SUBPROCESS covers both: a hang
     is bounded by `probe_timeout` and a failed init isn't cached into this
     process's jax. Polls every `poll_s` seconds for up to `timeout_s`
-    (default 480, override DAU_BENCH_BACKEND_WAIT_S; 0 disables waiting).
+    (default 900 - the observed tunnel wedges recover within
+    10-20 min; override DAU_BENCH_BACKEND_WAIT_S, 0 disables waiting).
     """
     import subprocess
     import sys
 
     if timeout_s is None:
-        timeout_s = float(os.environ.get("DAU_BENCH_BACKEND_WAIT_S", 480))
+        timeout_s = float(os.environ.get("DAU_BENCH_BACKEND_WAIT_S", 900))
     code = ("import jax, jax.numpy as jnp;"
             "jax.block_until_ready(jnp.ones((128, 128)).sum());"
             "print('BACKEND_OK', jax.devices()[0])")
