@@ -171,3 +171,49 @@ def test_recorded_digits_params_load():
     logits = net.apply({"params": fresh, "batch_stats": batch_stats}, xb)
     acc = float((np.asarray(logits).argmax(-1) == yb).mean())
     assert acc >= 0.85, f"recorded-artifact eval accuracy {acc}"
+
+
+def test_recorded_sigma_trained_params_load():
+    """The trainable-sigma digits artifact (docs/TRAINING_RESULTS.md,
+    round 4) re-installs via set_dau_variables_manually and reproduces the
+    recorded eval accuracy. The net must be built with
+    dau_sigma_trainable=True so its static blur filter supports the
+    learned sigma values (conv2 learned 0.71 > the fixed-sigma filter's
+    0.6 support cap)."""
+    import os
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "digits_dau_sigma_params.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not present")
+    from dau_convnet_tpu.nn.layers import set_dau_variables_manually
+    from dau_convnet_tpu.utils.checkpoint import load_params_npz
+
+    trees = load_params_npz(path)
+    params, batch_stats = trees["params"], trees["batch_stats"]
+    assert float(params["dau_conv2"]["sigma"][0]) > 0.65  # actually learned
+
+    net = DAUCifarNet(train=False, dau_sigma_trainable=True)
+    x0 = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x0)
+    fresh = variables["params"]
+    for lname in ("dau_conv1", "dau_conv2", "dau_conv3"):
+        fresh = set_dau_variables_manually(
+            fresh, lname,
+            weights=params[lname]["weights"], mu1=params[lname]["mu1"],
+            mu2=params[lname]["mu2"], sigma=params[lname]["sigma"])
+    for lname in params:
+        if not lname.startswith("dau_conv"):
+            fresh[lname] = jax.tree_util.tree_map(jnp.asarray, params[lname])
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.train_cifar10 import digits_32x32
+
+    _, _, x_te, y_te = digits_32x32()
+    xb, yb = jnp.asarray(x_te[:128]), y_te[:128]
+    logits = net.apply({"params": fresh, "batch_stats": batch_stats}, xb)
+    acc = float((np.asarray(logits).argmax(-1) == yb).mean())
+    assert acc >= 0.85, f"recorded-artifact eval accuracy {acc}"
