@@ -219,6 +219,42 @@ def test_sharded_fused_backward_matches_single_device(fused_dx, caplog):
                                    rtol=5e-5, atol=5e-6, err_msg=nm)
 
 
+def test_forced_fused_without_mesh_context_is_correct():
+    """fused_bwd='on' with sharded inputs but NO mesh context takes the
+    direct route; GSPMD replicates the opaque kernel call - slower than
+    the shard_map route but numerically correct (pinned here so the
+    fallback corner stays contractual)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
+
+    rng = np.random.default_rng(1)
+    N, S, G, F, H, W = 8, 8, 2, 8, 12, 10
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg = DAUConvSettings(kernel_size=9, engine="fourier", fused_bwd="on")
+
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
+                         x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y_ref, g_ref = jax.jit(fwd_bwd)(x, w, mu1, mu2, sig, err)
+    mesh = make_mesh(jax.devices()[:8], model=1)
+    bsh = NamedSharding(mesh, P("data"))
+    rsh = NamedSharding(mesh, P())
+    y_sh, g_sh = jax.jit(fwd_bwd, in_shardings=((bsh,) + (rsh,) * 4 + (bsh,)))(
+        jax.device_put(x, bsh), w, mu1, mu2, sig, jax.device_put(err, bsh))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
 def test_sharded_training_with_batch_stats():
     """BatchNorm models (the CIFAR net) train under the sharded step; the
     mutable batch_stats collection rides in TrainState.extra_vars."""
