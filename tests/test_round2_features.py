@@ -245,3 +245,36 @@ def test_remat_phi_matches_default():
     for a, b, nm in zip(g1, g0, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7, err_msg=nm)
+
+
+def test_remat_phi_with_fused_backward():
+    """remat_phi composes with the fused backward (fused_bwd='on'): the
+    unit grads come from the kernel (which needs no HBM phi) and the dx
+    path rebuilds phi; numerics match the default stashed-phi config."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    N, S, G, F, H, W = 2, 8, 2, 8, 10, 9
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg0 = DAUConvSettings(kernel_size=9, engine="fourier")
+    cfg1 = dataclasses.replace(cfg0, remat_phi=True, fused_bwd="on")
+
+    def run(cfg):
+        @jax.jit
+        def f(x, w, mu1, mu2, sig, err):
+            y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
+                             x, w, mu1, mu2, sig)
+            return y, vjp(err)
+        return f(x, w, mu1, mu2, sig, err)
+
+    y0, g0 = run(cfg0)
+    y1, g1 = run(cfg1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+    for a, b, nm in zip(g1, g0, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=nm)
