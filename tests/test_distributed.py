@@ -171,13 +171,16 @@ def test_spatial_sharding_matches_single_device(engine):
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("gather", ["phi", "factored"])
 @pytest.mark.parametrize("fused_dx", ["off", "on"])
-def test_sharded_fused_backward_matches_single_device(fused_dx, caplog):
+def test_sharded_fused_backward_matches_single_device(fused_dx, gather,
+                                                      caplog):
     """The fused Pallas backward under data-parallel sharding: with a mesh
     context the op shard_maps the kernel over the data axis (per-shard
     batch + psum on the unit grads) instead of dropping to the unfused
-    path. Numerics must match the single-device fused run. (VERDICT r3
-    item 3; on CPU the kernel runs in interpret mode.)"""
+    path. Numerics must match the single-device fused run, for BOTH
+    in-kernel gather forms. (VERDICT r3 item 3; on CPU the kernel runs in
+    interpret mode.)"""
     import logging
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -192,7 +195,7 @@ def test_sharded_fused_backward_matches_single_device(fused_dx, caplog):
     mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
     sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
     cfg = DAUConvSettings(kernel_size=9, engine="fourier", fused_bwd="on",
-                          fused_dx=fused_dx)
+                          fused_dx=fused_dx, fused_gather=gather)
 
     def fwd_bwd(x, w, mu1, mu2, sig, err):
         y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
