@@ -19,9 +19,24 @@ import argparse
 import json
 import logging
 import os
+import sys
 import time
 
 import numpy as np
+
+# Pre-argparse scan so the platform is forced before the first backend use
+# (the axon sitecustomize overrides JAX_PLATFORMS, so it must go through
+# jax.config). CPU numbers are meaningless as benchmarks; the flag exists so
+# the full bench code path can be smoke-tested without a live chip.
+_FORCED_CPU = False
+for _i, _a in enumerate(sys.argv):
+    if (_a == "--device" and _i + 1 < len(sys.argv)
+            and sys.argv[_i + 1] == "cpu") or _a == "--device=cpu":
+        _FORCED_CPU = True
+if _FORCED_CPU:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -346,6 +361,9 @@ def main():
                     choices=["auto", "on", "off"])
     ap.add_argument("--fused-gather", dest="fused_gather", default="phi",
                     choices=["phi", "factored"])
+    ap.add_argument("--device", choices=["default", "cpu"], default="default",
+                    help="cpu = force the CPU backend (smoke-testing the "
+                         "bench path without a chip; handled pre-import)")
     args = ap.parse_args()
 
     if args.dtype is None:
@@ -358,8 +376,11 @@ def main():
         args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
 
     # survive a transiently wedged axon tunnel before first backend use
-    # (round 3's official bench crashed rc=1 on exactly this)
-    wait_for_backend()
+    # (round 3's official bench crashed rc=1 on exactly this); pointless
+    # when the platform is forced to CPU (the subprocess probe would not
+    # inherit the forcing and would hang on the accelerator backend)
+    if not _FORCED_CPU:
+        wait_for_backend()
 
     if args.model == "alexnet":
         bench_alexnet(args)
