@@ -142,7 +142,7 @@ def time_chained(make_step, carry, iters=100, pairs=3):
         return best
 
     def run_pair():
-        n1 = iters // 5
+        n1 = max(1, iters // 5)
         t1 = measure(n1)
         # scale the long run so the differenced signal dominates dispatch
         # noise
@@ -463,4 +463,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # Keep the official capture parseable even when the accelerator
+        # never comes up (round 3's record was an rc=1 traceback): one
+        # JSON line in the normal schema, value null, error attached.
+        if "backend unavailable" not in str(e):
+            raise
+        print(json.dumps({
+            "metric": "train_step_time", "value": None, "unit": "ms",
+            "vs_baseline": None, "error": str(e),
+        }))
+        sys.exit(1)

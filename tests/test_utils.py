@@ -135,3 +135,23 @@ def test_gaussian_factor_filters_match_dense(unit_norm, square_norm,
                 rec, got, rtol=2e-5, atol=1e-7,
                 err_msg=f"{name} sigma={sigma} unit={unit_norm} "
                         f"square={square_norm} 1d={single_dim}")
+
+
+def test_bench_time_chained_tiny_iters():
+    """bench.time_chained must survive iters < 5 (the short-run length is
+    iters // 5, which was 0 and divided by zero before the floor)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    def make_step(c):
+        x, = c
+        return (x * 1.000001,)
+
+    dt = bench.time_chained(make_step, (jnp.ones((4, 4)),), iters=2, pairs=1)
+    assert np.isfinite(dt) and dt > 0
