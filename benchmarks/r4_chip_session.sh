@@ -28,6 +28,9 @@ run g4_phi 2400 python benchmarks/fused_bwd_probe.py --g 4 conv2 conv3 conv4 con
 run g4_factored 1800 python benchmarks/fused_bwd_probe.py --g 4 --gather factored conv4
 echo "PHASE-A-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
 # 5. in-step A/Bs + official-style captures (also warms the bench cache)
+# (sanity at the top already gated on the backend; if the relay dies
+# mid-session, fail each bench after 2 min instead of the 15-min default)
+export DAU_BENCH_BACKEND_WAIT_S=120
 run bench_default 3600 python bench.py
 run bench_factored 3600 python bench.py --fused-gather factored
 run bench_small 3600 python bench.py --variant small
