@@ -94,11 +94,12 @@ class DAUConvSettings:
     # VMEM plan exists, bin-count gate for the phi gather); 'on' = force
     # (still requires a plan; runs the kernel in interpret mode off-TPU);
     # 'off' = always the unfused XLA path. Under a mesh context (see
-    # `data_axis`) the kernel runs per-shard inside `jax.shard_map` over
-    # the data axis with a psum closing the unit-grad reduction - sharded
-    # training keeps the production kernel. A config field, NOT an env
-    # var: trace-time env reads bake silently into cached executables
-    # (round-2 advisory).
+    # `data_axis` / `model_axis`) the kernel runs per-shard inside
+    # `jax.shard_map` over the applicable axes (batch over data with a psum
+    # closing the unit-grad reduction; F over model with a psum closing dx)
+    # - sharded training keeps the production kernel. A config field, NOT
+    # an env var: trace-time env reads bake silently into cached
+    # executables (round-2 advisory).
     fused_bwd: str = "auto"
     # Mesh axis the batch is sharded over (parallel.make_mesh's default
     # name). When the ambient mesh (jax.sharding.set_mesh /
@@ -106,6 +107,13 @@ class DAUConvSettings:
     # shard_map-wrapped over it instead of falling back to the unfused
     # path.
     data_axis: str = "data"
+    # Mesh axis the output-channel (F) dim is sharded over under tensor
+    # parallelism (parallel.dau_param_spec's default name). When the ambient
+    # mesh carries this axis and F divides it, the fused backward partitions
+    # the F dim of the error/params into the shard_map region as well (unit
+    # grads stay F-sharded; a psum over this axis closes dx) instead of
+    # gathering F and duplicating the kernel's work per model shard.
+    model_axis: str = "model"
     # Emit the input gradient from the SAME fused backward kernel invocation
     # (the unit phase factors already live in VMEM there; requires
     # use_interpolation): 'on' = whenever the fused backward runs, 'off' =
@@ -389,20 +397,32 @@ def _reduce_to_shape(g, shape):
     return g.reshape(shape)
 
 
+def _shardable_axis(am, axis: str, dim: int) -> tp.Optional[str]:
+    """Mesh axis name if it exists, is >1, and evenly divides `dim`."""
+    if (not am.empty and axis in am.axis_names and am.shape[axis] > 1
+            and dim % am.shape[axis] == 0):
+        return axis
+    return None
+
+
 def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
                       gy_blur=None, w_units=None):
     """Invoke the fused backward kernel, optionally shard_mapped over the
     data axis of the ambient mesh.
 
     route='direct': plain call (single device, or forced).
-    route='shard_map': per-shard kernel over `cfg.data_axis` - the unit-grad
-    reduction over images is linear, so each shard reduces its local batch
-    and a psum over the axis completes it; dx stays batch-sharded. Params
-    and the phase tables replicate into the region (under TP the F axis is
-    gathered - the kernel itself stays DP-partitioned, documented
-    limitation). This is the TPU-native replacement for what the reference
-    never had (single-GPU library): the production kernel running under
-    data parallelism (SURVEY.md section 2.3 plan).
+    route='shard_map': per-shard kernel over the mesh axes that apply.
+    Over `cfg.data_axis`: the unit-grad reduction over images is linear, so
+    each shard reduces its local batch and a psum over the axis completes
+    it; dx stays batch-sharded. Over `cfg.model_axis` (when F divides it):
+    the error/param F dim enters the region partitioned, each shard emits
+    the unit grads for its own F slice (no collective needed - the grads
+    stay F-sharded, matching `parallel.dau_param_spec`), and a psum over
+    the axis closes dx (the input grad sums contributions across F).
+    Otherwise F is gathered and each model shard runs the full-F kernel.
+    This is the TPU-native replacement for what the reference never had
+    (single-GPU library): the production kernel running under data/tensor
+    parallelism (SURVEY.md section 2.3 plan).
     """
     from . import fourier_engine
 
@@ -417,26 +437,35 @@ def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
 
     from jax.sharding import PartitionSpec as P
     am = jax.sharding.get_abstract_mesh()
-    axis = cfg.data_axis
+    da = _shardable_axis(am, cfg.data_axis, xb.shape[1])
+    ma = _shardable_axis(am, cfg.model_axis, mu13.shape[-1])
+    _log.info("fused shard_map axes: data=%s model=%s", da, ma)
     with_dx = gy_blur is not None
     if with_dx:
         def local(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_):
             g, dx = call(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_)
-            return jax.lax.psum(g, axis), dx
+            if da is not None:
+                g = jax.lax.psum(g, da)
+            if ma is not None:
+                dx = jax.lax.psum(dx, ma)
+            return g, dx
 
         return jax.shard_map(
             local, mesh=am,
-            in_specs=(P(None, axis), P(axis), P(), P(), P(axis), P()),
-            out_specs=(P(), P(axis)), check_vma=False,
+            in_specs=(P(None, da), P(da, ma), P(None, None, ma),
+                      P(None, None, ma), P(da, ma), P(None, None, ma)),
+            out_specs=(P(None, None, None, ma), P(da)), check_vma=False,
         )(xb, gy, mu13, mu23, gy_blur, w_units)
 
     def local(xb_, gy_, mu13_, mu23_):
-        return jax.lax.psum(call(xb_, gy_, mu13_, mu23_, None, None), axis)
+        g = call(xb_, gy_, mu13_, mu23_, None, None)
+        return jax.lax.psum(g, da) if da is not None else g
 
     return jax.shard_map(
         local, mesh=am,
-        in_specs=(P(None, axis), P(axis), P(), P()),
-        out_specs=P(), check_vma=False,
+        in_specs=(P(None, da), P(da, ma), P(None, None, ma),
+                  P(None, None, ma)),
+        out_specs=P(None, None, None, ma), check_vma=False,
     )(xb, gy, mu13, mu23)
 
 
@@ -517,20 +546,20 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                         and (p1_ * rb_ <= 256
                              if cfg.fused_gather == "phi" else True)))
         # Routing: GSPMD cannot partition the opaque Mosaic custom call, so
-        # under a mesh context the kernel call is shard_map-wrapped over the
-        # batch ('data') axis - per-shard batch is the only partitioned dim
-        # the kernel sees under DP, and a psum closes the unit-grad
-        # reduction. Without a mesh context the multi-device case keeps the
-        # unfused XLA form (which partitions cleanly); with a mesh the gate
-        # reads NO global device state - only the ambient AbstractMesh, which
-        # is part of the trace.
+        # under a mesh context the kernel call is shard_map-wrapped over
+        # whichever axes apply - the batch over 'data' (psum closes the
+        # unit-grad reduction) and, when F divides it, the output-channel
+        # dim over 'model' (unit grads stay F-sharded; psum closes dx).
+        # Without a mesh context the multi-device case keeps the unfused
+        # XLA form (which partitions cleanly); with a mesh the gate reads
+        # NO global device state - only the ambient AbstractMesh, which is
+        # part of the trace.
         route = None
         if fused_ok:
             am = jax.sharding.get_abstract_mesh()
-            if (not am.empty and cfg.data_axis in am.axis_names
-                    and am.shape[cfg.data_axis] > 1):
-                if n % am.shape[cfg.data_axis] == 0:
-                    route = "shard_map"
+            if (_shardable_axis(am, cfg.data_axis, n) is not None
+                    or _shardable_axis(am, cfg.model_axis, f_ch) is not None):
+                route = "shard_map"
             elif jax.device_count() == 1 or cfg.fused_bwd == "on":
                 route = "direct"
         if route is not None:
