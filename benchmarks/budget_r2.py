@@ -1,6 +1,9 @@
-"""Round-2 whole-step budget: per-component fourier-engine timings at all
-four AlexNet-DAU layer shapes, to attribute the 11.67 ms step before the
-round-3 fusion work. Run on the real chip: python benchmarks/budget_r2.py
+"""Per-component fourier-engine budget at AlexNet-DAU layer shapes.
+
+Originally the round-2 attribution of the 11.67 ms step; now also the
+G=4 (large-variant) budget tool the round-3 verdict asked for (item 4).
+Run on the real chip:
+    python benchmarks/budget_r2.py [--g 4] [conv2 conv3 conv4 conv5]
 """
 
 import sys
@@ -18,11 +21,14 @@ from dau_convnet_tpu.ops.gaussian import depthwise_blur, gaussian_filters  # noq
 
 DTYPE = jnp.bfloat16
 N, G, KS, M = 32, 2, 9, 3
+if "--g" in sys.argv:
+    _i = sys.argv.index("--g")
+    G = int(sys.argv[_i + 1])
+    del sys.argv[_i:_i + 2]
 PREC = jax.lax.Precision.DEFAULT
-LAYERS = [
-    ("conv2", 96, 256, 27),
-    ("conv4", 384, 384, 13),
-]
+SHAPES = {"conv2": (96, 256, 27), "conv3": (256, 384, 13),
+          "conv4": (384, 384, 13), "conv5": (384, 256, 13)}
+LAYERS = [(nm,) + SHAPES[nm] for nm in (sys.argv[1:] or ["conv2", "conv4"])]
 
 
 def main():
@@ -72,7 +78,7 @@ def main():
             c, tim, mu1, mu2, p1, p2, rb, True), c), tre)
         timed("unit_grads(all bwd)", lambda c: keep(fe.fourier_unit_grads(
             xbm, c, mu1, mu2, KS, True, precision=PREC), c), err)
-    print("\nper-step totals over the 4 layers (ms):")
+    print(f"\nper-step totals over the {len(LAYERS)} layers (ms), G={G}:")
     for k, v in totals.items():
         print(f"  {k:28s} {v*1e3:8.3f}")
 

@@ -23,9 +23,11 @@ run drift_r2tree 1800 bash -c "cd /tmp/r2tree && python benchmarks/fused_bwd_pro
 # 3. blocked factored standalone at the two bin regimes
 run factored_conv4 1800 python benchmarks/fused_bwd_probe.py --gather factored conv4
 run factored_conv2 1800 python benchmarks/fused_bwd_probe.py --gather factored conv2
-# 4. G=4 budget: per-layer fused probes, both gathers
+# 4. G=4 budget: per-layer fused probes, both gathers, + the per-component
+#    table the round-3 verdict asks for (phi build / fwd apply / dx / grads)
 run g4_phi 2400 python benchmarks/fused_bwd_probe.py --g 4 conv2 conv3 conv4 conv5
 run g4_factored 1800 python benchmarks/fused_bwd_probe.py --g 4 --gather factored conv4
+run g4_budget 2400 python benchmarks/budget_r2.py --g 4 conv2 conv3 conv4 conv5
 echo "PHASE-A-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
 # 5. in-step A/Bs + official-style captures (also warms the bench cache)
 # (sanity at the top already gated on the backend; if the relay dies

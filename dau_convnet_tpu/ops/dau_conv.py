@@ -436,37 +436,59 @@ def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
         return call(xb, gy, mu13, mu23, gy_blur, w_units)
 
     from jax.sharding import PartitionSpec as P
+
+    from ..kernels.fused_bwd import FusedPlanError
+
     am = jax.sharding.get_abstract_mesh()
     da = _shardable_axis(am, cfg.data_axis, xb.shape[1])
     ma = _shardable_axis(am, cfg.model_axis, mu13.shape[-1])
-    _log.info("fused shard_map axes: data=%s model=%s", da, ma)
     with_dx = gy_blur is not None
-    if with_dx:
-        def local(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_):
-            g, dx = call(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_)
-            if da is not None:
-                g = jax.lax.psum(g, da)
-            if ma is not None:
-                dx = jax.lax.psum(dx, ma)
-            return g, dx
+
+    def invoke(da, ma):
+        _log.info("fused shard_map axes: data=%s model=%s", da, ma)
+        if with_dx:
+            def local(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_):
+                g, dx = call(xb_, gy_, mu13_, mu23_, gy_blur_, w_units_)
+                if da is not None:
+                    g = jax.lax.psum(g, da)
+                if ma is not None:
+                    dx = jax.lax.psum(dx, ma)
+                return g, dx
+
+            return jax.shard_map(
+                local, mesh=am,
+                in_specs=(P(None, da), P(da, ma), P(None, None, ma),
+                          P(None, None, ma), P(da, ma), P(None, None, ma)),
+                out_specs=(P(None, None, None, ma), P(da)), check_vma=False,
+            )(xb, gy, mu13, mu23, gy_blur, w_units)
+
+        def local(xb_, gy_, mu13_, mu23_):
+            g = call(xb_, gy_, mu13_, mu23_, None, None)
+            return jax.lax.psum(g, da) if da is not None else g
 
         return jax.shard_map(
             local, mesh=am,
             in_specs=(P(None, da), P(da, ma), P(None, None, ma),
-                      P(None, None, ma), P(da, ma), P(None, None, ma)),
-            out_specs=(P(None, None, None, ma), P(da)), check_vma=False,
-        )(xb, gy, mu13, mu23, gy_blur, w_units)
+                      P(None, None, ma)),
+            out_specs=P(None, None, None, ma), check_vma=False,
+        )(xb, gy, mu13, mu23)
 
-    def local(xb_, gy_, mu13_, mu23_):
-        g = call(xb_, gy_, mu13_, mu23_, None, None)
-        return jax.lax.psum(g, da) if da is not None else g
-
-    return jax.shard_map(
-        local, mesh=am,
-        in_specs=(P(None, da), P(da, ma), P(None, None, ma),
-                  P(None, None, ma)),
-        out_specs=P(None, None, None, ma), check_vma=False,
-    )(xb, gy, mu13, mu23)
+    if ma is not None:
+        try:
+            return invoke(da, ma)
+        except FusedPlanError:
+            # The per-shard F slice has no kernel plan (compiled TPU needs
+            # F to be a 128-multiple). Gather F instead - the fused kernel
+            # partitioned over data (or forced) still beats dropping to
+            # the unfused path. Under 'auto' with no data axis there is
+            # nothing left to partition: re-raise so the caller falls back
+            # to the unfused form, which partitions F cleanly under GSPMD.
+            if da is None and cfg.fused_bwd != "on":
+                raise
+            _log.info("fused shard_map: no per-shard plan on the model "
+                      "axis; gathering F")
+            ma = None
+    return invoke(da, ma)
 
 
 def _bwd_rule(cfg: DAUConvSettings, res, gy):

@@ -319,6 +319,61 @@ def test_tp_sharded_fused_backward_partitions_f(mesh_kind, fused_dx, caplog):
                                    rtol=5e-5, atol=5e-6, err_msg=nm)
 
 
+@pytest.mark.parametrize("mesh_kind", ["dp_x_tp", "tp_only"])
+def test_tp_fused_backward_gathers_f_without_per_shard_plan(mesh_kind, caplog):
+    """When the per-shard F slice has no kernel plan (here F=8 over
+    model=2 - interpret mode needs F % 8 == 0; compiled TPU needs
+    F % 128 == 0), the fused backward retries with F gathered instead of
+    dropping to the unfused path. Numerics must still match the
+    single-device fused run."""
+    import logging
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dau_convnet_tpu.ops import DAUConvSettings, dau_conv2d_op
+
+    rng = np.random.default_rng(5)
+    N, S, G, F, H, W = 8, 8, 2, 8, 12, 10
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg = DAUConvSettings(kernel_size=9, engine="fourier", fused_bwd="on")
+
+    def fwd_bwd(x, w, mu1, mu2, sig, err):
+        y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
+                         x, w, mu1, mu2, sig)
+        return y, vjp(err)
+
+    y_ref, g_ref = jax.jit(fwd_bwd)(x, w, mu1, mu2, sig, err)
+
+    if mesh_kind == "dp_x_tp":
+        mesh = make_mesh(jax.devices()[:8], model=2)
+    else:
+        mesh = make_mesh(jax.devices()[:2], data=1, model=2)
+    dax = "data" if mesh.shape["data"] > 1 else None
+    bsh = NamedSharding(mesh, P(dax))
+    fsh = NamedSharding(mesh, P(None, None, None, "model"))
+    esh = NamedSharding(mesh, P(dax, "model"))
+    with jax.sharding.set_mesh(mesh), \
+            caplog.at_level(logging.INFO,
+                            logger="dau_convnet_tpu.ops.dau_conv"):
+        y_sh, g_sh = jax.jit(
+            fwd_bwd, in_shardings=((bsh,) + (fsh,) * 4 + (esh,)))(
+            jax.device_put(x, bsh), jax.device_put(w, fsh),
+            jax.device_put(mu1, fsh), jax.device_put(mu2, fsh),
+            jax.device_put(sig, fsh), jax.device_put(err, esh))
+    assert "route=shard_map" in caplog.text, caplog.text
+    assert "gathering F" in caplog.text, caplog.text
+    assert f"data={dax} model=None" in caplog.text, caplog.text
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
+    for a, b, nm in zip(g_sh, g_ref, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6, err_msg=nm)
+
+
 def test_sharded_training_with_batch_stats():
     """BatchNorm models (the CIFAR net) train under the sharded step; the
     mutable batch_stats collection rides in TrainState.extra_vars."""
