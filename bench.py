@@ -244,13 +244,16 @@ def bench_alexnet(args):
     gather_flops = sum(2 * N * s * g_units * f * hw * hw * taps * 5
                        for s, f, hw in layer_px)
 
-    dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
-                     engine=args.engine, fused_bwd=args.fused_bwd,
-                     fused_dx=args.fused_dx, fused_gather=args.fused_gather)
-    dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
-    step, carry = make_step(dau, dau_params)
-    t_dau = time_chained(step, carry, args.iters, pairs=5)
-    dau_pairs = time_chained.last_pairs_ms
+    def measure_dau(variant, pairs):
+        dau = AlexNetDAU(variant=variant, train=False, dtype=dtype,
+                         engine=args.engine, fused_bwd=args.fused_bwd,
+                         fused_dx=args.fused_dx, fused_gather=args.fused_gather)
+        dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
+        step, carry = make_step(dau, dau_params)
+        t = time_chained(step, carry, args.iters, pairs=pairs)
+        return t, time_chained.last_pairs_ms, dau.num_dau_units()
+
+    t_dau, dau_pairs, _ = measure_dau(args.variant, pairs=5)
 
     conv = AlexNetConv()
     conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
@@ -260,6 +263,32 @@ def bench_alexnet(args):
     # costs seconds and halves the headline-ratio spread
     t_conv = time_chained(cstep, ccarry, args.iters, pairs=5)
     conv_pairs = time_chained.last_pairs_ms
+
+    # Per-variant numbers in the SAME official line (round-3 verdict item
+    # 1: the small/large records belong in BENCH_rN, not only in notes).
+    # Only on the default headline invocation; each extra variant is
+    # best-effort (an error there must not sink the headline capture).
+    # The conv3x3 baseline is variant-independent, so its median is reused
+    # for the extra variants' ratios. DAU_BENCH_ALL_VARIANTS=0 disables.
+    variants = {}
+    try:
+        if (args.variant == "default"
+                and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
+            for vname in ("small", "large"):
+                try:
+                    t_v, pairs_v, units_v = measure_dau(vname, pairs=3)
+                    variants[vname] = {
+                        "images_per_sec": round(N / t_v, 1),
+                        "dau_step_ms": round(t_v * 1e3, 3),
+                        "vs_baseline": round(t_conv / t_v, 4),
+                        "dau_step_pairs_ms": pairs_v,
+                        "dau_units": units_v,
+                    }
+                except Exception as e:  # noqa: BLE001 - keep the capture alive
+                    variants[vname] = {
+                        "error": f"{type(e).__name__}: {e}"[:300]}
+    except Exception as e:  # noqa: BLE001 - never sink the headline line
+        variants = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps({
         "metric": f"alexnet_dau_{args.variant}_trainstep_images_per_sec(N{N},227x227,{args.dtype})",
@@ -280,6 +309,7 @@ def bench_alexnet(args):
             "gather_mfu_pct": round(
                 gather_flops / t_dau / PEAK_BF16_FLOPS * 100, 2),
             "device": str(jax.devices()[0]),
+            **({"variants": variants} if variants else {}),
         },
     }))
 

@@ -33,10 +33,13 @@ echo "PHASE-A-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
 # (sanity at the top already gated on the backend; if the relay dies
 # mid-session, fail each bench after 2 min instead of the 15-min default)
 export DAU_BENCH_BACKEND_WAIT_S=120
-run bench_default 3600 python bench.py
-run bench_factored 3600 python bench.py --fused-gather factored
+# small/large first: warms their kernel compiles so bench_default's
+# in-line variants capture (DAU_BENCH_ALL_VARIANTS, the official-line
+# schema) measures warm
 run bench_small 3600 python bench.py --variant small
 run bench_large 3600 python bench.py --variant large
+run bench_default 3600 python bench.py
+run bench_factored 3600 python bench.py --fused-gather factored
 run bench_large_factored 3600 python bench.py --variant large --fused-gather factored
 run bench_layer 1800 python bench.py --model layer
 echo "SESSION-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
