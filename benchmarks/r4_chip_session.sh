@@ -14,6 +14,13 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 # 0. sanity + warms shared compiles
 run sanity 300 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.ones((256,256)).sum()))"
+# 0b. official capture FIRST: the default bench (with its inline small/large
+# variant captures) compiles exactly the set the driver's cold round-end
+# `python bench.py` needs warm in .jax_cache — if the relay dies again
+# mid-session, this is the one artifact that must exist. sanity already
+# gated on the backend, so cap per-bench waits now.
+export DAU_BENCH_BACKEND_WAIT_S=120
+run bench_default_first 5400 python bench.py
 # 1. compiled correctness of the blocked factored kernel (asserts)
 run oracle_factored 1800 python benchmarks/tpu_oracle_check.py factored
 # 2. drift audit: current phi kernel vs the round-2 tree (f389f4b), same probe
@@ -29,13 +36,8 @@ run g4_phi 2400 python benchmarks/fused_bwd_probe.py --g 4 conv2 conv3 conv4 con
 run g4_factored 1800 python benchmarks/fused_bwd_probe.py --g 4 --gather factored conv4
 run g4_budget 2400 python benchmarks/budget_r2.py --g 4 conv2 conv3 conv4 conv5
 echo "PHASE-A-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
-# 5. in-step A/Bs + official-style captures (also warms the bench cache)
-# (sanity at the top already gated on the backend; if the relay dies
-# mid-session, fail each bench after 2 min instead of the 15-min default)
-export DAU_BENCH_BACKEND_WAIT_S=120
-# small/large first: warms their kernel compiles so bench_default's
-# in-line variants capture (DAU_BENCH_ALL_VARIANTS, the official-line
-# schema) measures warm
+# 5. in-step A/Bs + refreshed captures (bench_default_first warmed the
+# variant compiles, so these measure warm)
 run bench_small 3600 python bench.py --variant small
 run bench_large 3600 python bench.py --variant large
 run bench_default 3600 python bench.py
