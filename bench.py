@@ -79,6 +79,8 @@ def wait_for_backend(timeout_s=None, poll_s=30, probe_timeout=150):
 
     if timeout_s is None:
         timeout_s = float(os.environ.get("DAU_BENCH_BACKEND_WAIT_S", 900))
+    if timeout_s <= 0:  # 0 disables the wait entirely (no probe at all)
+        return
     code = ("import jax, jax.numpy as jnp;"
             "jax.block_until_ready(jnp.ones((128, 128)).sum());"
             "print('BACKEND_OK', jax.devices()[0])")
@@ -253,7 +255,7 @@ def bench_alexnet(args):
         t = time_chained(step, carry, args.iters, pairs=pairs)
         return t, time_chained.last_pairs_ms, dau.num_dau_units()
 
-    t_dau, dau_pairs, _ = measure_dau(args.variant, pairs=5)
+    t_dau, dau_pairs, dau_units = measure_dau(args.variant, pairs=5)
 
     conv = AlexNetConv()
     conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
@@ -266,23 +268,47 @@ def bench_alexnet(args):
 
     # Per-variant numbers in the SAME official line (round-3 verdict item
     # 1: the small/large records belong in BENCH_rN, not only in notes).
-    # Only on the default headline invocation; each extra variant is
-    # best-effort (an error there must not sink the headline capture).
-    # The conv3x3 baseline is variant-independent, so its median is reused
-    # for the extra variants' ratios. DAU_BENCH_ALL_VARIANTS=0 disables.
+    # Only on the default headline invocation; each extra variant runs in a
+    # bounded SUBPROCESS: the headline numbers are already in hand at this
+    # point, and a tunnel hang inside an in-process variant measurement
+    # (failure mode (b), uncatchable by `except`) must not prevent the
+    # headline line from printing. Skipped under --device cpu (the smoke
+    # flag's purpose is one cheap pass). DAU_BENCH_ALL_VARIANTS=0 disables.
     variants = {}
     try:
-        if (args.variant == "default"
+        if (args.variant == "default" and not _FORCED_CPU
                 and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
+            import subprocess
+            env = dict(os.environ, DAU_BENCH_ALL_VARIANTS="0")
             for vname in ("small", "large"):
                 try:
-                    t_v, pairs_v, units_v = measure_dau(vname, pairs=3)
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--variant", vname, "--engine", args.engine,
+                           "--fused-bwd", args.fused_bwd,
+                           "--fused-dx", args.fused_dx,
+                           "--fused-gather", args.fused_gather,
+                           "--iters", str(args.iters)]
+                    r = subprocess.run(
+                        cmd, capture_output=True, text=True, env=env,
+                        timeout=float(os.environ.get(
+                            "DAU_BENCH_VARIANT_TIMEOUT_S", 2400)))
+                    line = next((l for l in reversed(r.stdout.splitlines())
+                                 if l.startswith("{")), None)
+                    if line is None:
+                        tail = (r.stderr or r.stdout).strip().splitlines()
+                        raise RuntimeError(
+                            f"variant subprocess rc={r.returncode}: "
+                            f"{tail[-1] if tail else 'no output'}")
+                    sub = json.loads(line)
                     variants[vname] = {
-                        "images_per_sec": round(N / t_v, 1),
-                        "dau_step_ms": round(t_v * 1e3, 3),
-                        "vs_baseline": round(t_conv / t_v, 4),
-                        "dau_step_pairs_ms": pairs_v,
-                        "dau_units": units_v,
+                        "images_per_sec": sub["value"],
+                        "dau_step_ms": sub["detail"]["dau_step_ms"],
+                        # ratio against the headline run's conv median so
+                        # the three variants share one baseline
+                        "vs_baseline": round(
+                            t_conv * 1e3 / sub["detail"]["dau_step_ms"], 4),
+                        "dau_step_pairs_ms": sub["detail"]["dau_step_pairs_ms"],
+                        "dau_units": sub["detail"]["dau_units"],
                     }
                 except Exception as e:  # noqa: BLE001 - keep the capture alive
                     variants[vname] = {
@@ -303,7 +329,7 @@ def bench_alexnet(args):
             # headline deltas should be read against this spread
             "dau_step_pairs_ms": dau_pairs,
             "conv3x3_step_pairs_ms": conv_pairs,
-            "dau_units": AlexNetDAU(variant=args.variant).num_dau_units(),
+            "dau_units": dau_units,
             "engine": args.engine,
             # algorithmic MFU: reference-gather FLOPs / time / bf16 peak
             "gather_mfu_pct": round(
@@ -372,7 +398,10 @@ def bench_memtest(args):
 
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        # abbreviations off: the pre-import --device scan matches exact
+        # tokens, so argparse must not accept spellings the scan misses
+        allow_abbrev=False)
     ap.add_argument("--N", type=int, default=32)
     ap.add_argument("--S", type=int, default=128)
     ap.add_argument("--F", type=int, default=32)

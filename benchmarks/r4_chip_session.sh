@@ -6,21 +6,26 @@
 cd "$(dirname "$0")/.."
 L=${DAU_PROBE_LOGDIR:-/tmp/r4logs}
 mkdir -p "$L"
-run() {  # run <name> <timeout_s> <cmd...>
+run() {  # run <name> <timeout_s> <cmd...>; returns the command's rc
   local name=$1 to=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$L/session.log"
   timeout "$to" "$@" > "$L/$name.log" 2>&1
-  echo "rc=$? $(date +%H:%M:%S)" | tee -a "$L/session.log"
+  local rc=$?
+  echo "rc=$rc $(date +%H:%M:%S)" | tee -a "$L/session.log"
+  return $rc
 }
-# 0. sanity + warms shared compiles
-run sanity 300 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.ones((256,256)).sum()))"
+# 0. sanity + warms shared compiles. Only when it SUCCEEDS is the per-bench
+# backend wait capped at 2 min (so a mid-session relay death fails fast);
+# if sanity fails the benches keep the 15-min default wait that covers the
+# observed 10-20 min recovery band.
+if run sanity 300 python -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.ones((256,256)).sum()))"; then
+  export DAU_BENCH_BACKEND_WAIT_S=120
+fi
 # 0b. official capture FIRST: the default bench (with its inline small/large
 # variant captures) compiles exactly the set the driver's cold round-end
 # `python bench.py` needs warm in .jax_cache — if the relay dies again
-# mid-session, this is the one artifact that must exist. sanity already
-# gated on the backend, so cap per-bench waits now.
-export DAU_BENCH_BACKEND_WAIT_S=120
-run bench_default_first 5400 python bench.py
+# mid-session, this is the one artifact that must exist.
+run bench_default_first 7200 python bench.py
 # 1. compiled correctness of the blocked factored kernel (asserts)
 run oracle_factored 1800 python benchmarks/tpu_oracle_check.py factored
 # 2. drift audit: current phi kernel vs the round-2 tree (f389f4b), same probe

@@ -50,6 +50,11 @@ def load_params_npz(path: str) -> tp.Dict[str, tp.Any]:
     with np.load(path) as d:
         for key in d.files:
             parts = key.split("/")
+            if len(parts) == 1:
+                # the named tree was a single bare leaf (no path under the
+                # tree name): return the array itself, not {name: {name: a}}
+                trees[parts[0]] = d[key]
+                continue
             node = trees.setdefault(parts[0], {})
             for p in parts[1:-1]:
                 node = node.setdefault(p, {})

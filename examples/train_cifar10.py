@@ -175,7 +175,10 @@ def save_params_npz(path, params, batch_stats):
 
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        # abbreviations off: the pre-import --device scan matches exact
+        # tokens, so argparse must not accept spellings the scan misses
+        allow_abbrev=False)
     ap.add_argument("--steps", type=int, default=None,
                     help="total train steps (overrides --epochs)")
     ap.add_argument("--epochs", type=int, default=20)

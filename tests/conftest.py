@@ -42,7 +42,8 @@ _QUICK_TESTS = (
     "test_distributed.py::test_opt_shardings_keyed_by_tree_path",
     "test_distributed.py::test_param_shardings_shard_f_axis",
     "test_distributed.py::test_batch_sharding_places_batch_on_data_axis",
-    "test_grad_checks.py::test_check_grads",
+    "test_grad_checks.py::test_finite_difference_w",
+    "test_grad_checks.py::test_jit_compile_once",
 )
 
 

@@ -123,6 +123,21 @@ def test_params_npz_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(leaf), node)
 
 
+def test_params_npz_single_leaf_roundtrip(tmp_path):
+    """A named tree that is a single bare array (no nesting) must come back
+    as the array itself, not {name: {name: array}} (round-4 review fix)."""
+    from dau_convnet_tpu.utils.checkpoint import (load_params_npz,
+                                                  save_params_npz)
+
+    path = str(tmp_path / "leaf.npz")
+    sigma = np.full((1,), 0.5, np.float32)
+    tree = {"w": np.ones((2, 3), np.float32)}
+    save_params_npz(path, sigma=sigma, params=tree)
+    back = load_params_npz(path)
+    np.testing.assert_array_equal(back["sigma"], sigma)
+    np.testing.assert_array_equal(back["params"]["w"], tree["w"])
+
+
 def test_recorded_digits_params_load():
     """The recorded digits training artifact (docs/TRAINING_RESULTS.md)
     re-installs via set_dau_variables_manually and reproduces the recorded
