@@ -182,6 +182,51 @@ def time_chained(make_step, carry, iters=100, pairs=3):
     return sorted(dts)[len(dts) // 2]
 
 
+def _measure_variant_subprocess(vname, args, t_conv, _run=None):
+    """Measure one AlexNet-DAU variant in a bounded subprocess.
+
+    The headline numbers are already in hand when this runs; a tunnel hang
+    inside an in-process variant measurement (failure mode (b), uncatchable
+    by `except`) must not prevent the headline line from printing, so the
+    variant gets its own process and a hard timeout. Returns the variants[]
+    entry dict; never raises (errors come back as {"error": ...}).
+    `_run` injects a subprocess.run stand-in for tests.
+    """
+    import subprocess
+    run = _run or subprocess.run
+    try:
+        env = dict(os.environ, DAU_BENCH_ALL_VARIANTS="0")
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--variant", vname, "--engine", args.engine,
+               "--fused-bwd", args.fused_bwd,
+               "--fused-dx", args.fused_dx,
+               "--fused-gather", args.fused_gather,
+               "--iters", str(args.iters)]
+        r = run(cmd, capture_output=True, text=True, env=env,
+                timeout=float(os.environ.get(
+                    "DAU_BENCH_VARIANT_TIMEOUT_S", 2400)))
+        line = next((l for l in reversed(r.stdout.splitlines())
+                     if l.startswith("{")), None)
+        if line is None:
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            raise RuntimeError(
+                f"variant subprocess rc={r.returncode}: "
+                f"{tail[-1] if tail else 'no output'}")
+        sub = json.loads(line)
+        return {
+            "images_per_sec": sub["value"],
+            "dau_step_ms": sub["detail"]["dau_step_ms"],
+            # ratio against the headline run's conv median so the three
+            # variants share one baseline
+            "vs_baseline": round(
+                t_conv * 1e3 / sub["detail"]["dau_step_ms"], 4),
+            "dau_step_pairs_ms": sub["detail"]["dau_step_pairs_ms"],
+            "dau_units": sub["detail"]["dau_units"],
+        }
+    except Exception as e:  # noqa: BLE001 - keep the capture alive
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def bench_alexnet(args):
     """Full AlexNet-DAU training step (fwd+bwd+SGD), images/sec/chip -
     the BASELINE.md north-star metric. vs_baseline compares against the
@@ -278,41 +323,9 @@ def bench_alexnet(args):
     try:
         if (args.variant == "default" and not _FORCED_CPU
                 and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
-            import subprocess
-            env = dict(os.environ, DAU_BENCH_ALL_VARIANTS="0")
             for vname in ("small", "large"):
-                try:
-                    cmd = [sys.executable, os.path.abspath(__file__),
-                           "--variant", vname, "--engine", args.engine,
-                           "--fused-bwd", args.fused_bwd,
-                           "--fused-dx", args.fused_dx,
-                           "--fused-gather", args.fused_gather,
-                           "--iters", str(args.iters)]
-                    r = subprocess.run(
-                        cmd, capture_output=True, text=True, env=env,
-                        timeout=float(os.environ.get(
-                            "DAU_BENCH_VARIANT_TIMEOUT_S", 2400)))
-                    line = next((l for l in reversed(r.stdout.splitlines())
-                                 if l.startswith("{")), None)
-                    if line is None:
-                        tail = (r.stderr or r.stdout).strip().splitlines()
-                        raise RuntimeError(
-                            f"variant subprocess rc={r.returncode}: "
-                            f"{tail[-1] if tail else 'no output'}")
-                    sub = json.loads(line)
-                    variants[vname] = {
-                        "images_per_sec": sub["value"],
-                        "dau_step_ms": sub["detail"]["dau_step_ms"],
-                        # ratio against the headline run's conv median so
-                        # the three variants share one baseline
-                        "vs_baseline": round(
-                            t_conv * 1e3 / sub["detail"]["dau_step_ms"], 4),
-                        "dau_step_pairs_ms": sub["detail"]["dau_step_pairs_ms"],
-                        "dau_units": sub["detail"]["dau_units"],
-                    }
-                except Exception as e:  # noqa: BLE001 - keep the capture alive
-                    variants[vname] = {
-                        "error": f"{type(e).__name__}: {e}"[:300]}
+                variants[vname] = _measure_variant_subprocess(
+                    vname, args, t_conv)
     except Exception as e:  # noqa: BLE001 - never sink the headline line
         variants = {"error": f"{type(e).__name__}: {e}"[:300]}
 

@@ -1,0 +1,84 @@
+"""Unit tests for bench.py's variant-subprocess capture (the official
+BENCH_rN line's small/large entries). The real path first runs on the chip
+during the driver's capture, so the parse/forward/error logic is pinned
+here with an injected subprocess.run stand-in."""
+
+import json
+import types
+
+import pytest
+
+import bench
+
+
+class _Args:
+    engine = "fourier"
+    fused_bwd = "auto"
+    fused_dx = "auto"
+    fused_gather = "phi"
+    iters = 20
+
+
+def _result(stdout="", stderr="", rc=0):
+    return types.SimpleNamespace(stdout=stdout, stderr=stderr, returncode=rc)
+
+
+SUB_LINE = json.dumps({
+    "metric": "alexnet_dau_small_trainstep_images_per_sec(N32,227x227,bf16)",
+    "value": 4055.0, "unit": "images/sec", "vs_baseline": 0.302,
+    "detail": {"dau_step_ms": 7.89, "conv3x3_step_ms": 2.38,
+               "dau_step_pairs_ms": [7.8, 7.89, 7.95],
+               "dau_units": 371200},
+})
+
+
+@pytest.mark.quick
+def test_variant_subprocess_success_parses_last_json_line():
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        seen["cmd"] = cmd
+        seen["env"] = kw["env"]
+        seen["timeout"] = kw["timeout"]
+        return _result(stdout="bench: backend recovered on attempt 2\n"
+                              + SUB_LINE + "\n")
+
+    out = bench._measure_variant_subprocess("small", _Args(), t_conv=2.4e-3,
+                                            _run=fake_run)
+    assert out["images_per_sec"] == 4055.0
+    assert out["dau_step_ms"] == 7.89
+    assert out["dau_units"] == 371200
+    # ratio against the HEADLINE run's conv median, not the subprocess's
+    assert out["vs_baseline"] == round(2.4 / 7.89, 4)
+    # flag forwarding: the subprocess measures the same config class
+    assert seen["cmd"][2:] == ["--variant", "small", "--engine", "fourier",
+                               "--fused-bwd", "auto", "--fused-dx", "auto",
+                               "--fused-gather", "phi", "--iters", "20"]
+    # recursion guard: the child must not measure variants of its own
+    assert seen["env"]["DAU_BENCH_ALL_VARIANTS"] == "0"
+    assert seen["timeout"] > 0
+
+
+@pytest.mark.quick
+def test_variant_subprocess_failure_is_error_entry_not_raise():
+    def fake_run(cmd, **kw):
+        return _result(stdout="", stderr="Traceback...\nRuntimeError: boom",
+                       rc=1)
+
+    out = bench._measure_variant_subprocess("large", _Args(), t_conv=2.4e-3,
+                                            _run=fake_run)
+    assert set(out) == {"error"}
+    assert "rc=1" in out["error"] and "boom" in out["error"]
+
+
+@pytest.mark.quick
+def test_variant_subprocess_timeout_is_error_entry():
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+    out = bench._measure_variant_subprocess("small", _Args(), t_conv=2.4e-3,
+                                            _run=fake_run)
+    assert set(out) == {"error"}
+    assert "TimeoutExpired" in out["error"]
