@@ -432,7 +432,7 @@ def main():
     ap.add_argument("--fused-dx", dest="fused_dx", default="auto",
                     choices=["auto", "on", "off"])
     ap.add_argument("--fused-gather", dest="fused_gather", default="phi",
-                    choices=["phi", "factored"])
+                    choices=["phi", "factored", "auto"])
     ap.add_argument("--device", choices=["default", "cpu"], default="default",
                     help="cpu = force the CPU backend (smoke-testing the "
                          "bench path without a chip; handled pre-import)")

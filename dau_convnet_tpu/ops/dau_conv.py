@@ -130,11 +130,16 @@ class DAUConvSettings:
     # In-kernel spectral gather form: 'phi' (production) builds each unit's
     # phase factor over all bins; 'factored' contracts the cross-spectra
     # against the integer-exponent tables once (per-unit work independent
-    # of the bin count). Measured (PERF_NOTES round 3): phi wins the
-    # B<=256 shapes (conv4 1.08 vs 1.65 ms - the factored form's skinny
-    # per-row table dots are fill/drain-bound), factored wins phi at conv2
-    # (B=496: 0.71 vs 0.94) but only TIES the unfused path there (0.73),
-    # so the auto gate keeps conv2 unfused and the phi form elsewhere.
+    # of the bin count); 'auto' picks per shape at trace time - factored
+    # above FACTORED_MIN_BINS bins, phi below (see _resolve_gather).
+    # Measured (PERF_NOTES round 3): phi wins the B<=256 shapes (conv4
+    # 1.08 vs 1.65 ms - the factored form's skinny per-row table dots are
+    # fill/drain-bound), factored wins phi at conv2 (B=496: 0.71 vs 0.94)
+    # but only TIES the unfused path there (0.73), so the default stays
+    # 'phi' + the fused auto-gate keeping conv2 unfused. The round-4
+    # blocked-dot factored kernel is expected to move the crossover;
+    # re-calibrate FACTORED_MIN_BINS from benchmarks/fused_bwd_probe.py
+    # before making 'auto' the default.
     fused_gather: str = "phi"
     # Rematerialize the fourier engine's phase table in the backward
     # instead of stashing it as a VJP residual: saves 2*B*S*F bytes of HBM
@@ -161,7 +166,7 @@ class DAUConvSettings:
             raise ValueError(f"unknown fused_bwd {self.fused_bwd!r}")
         if self.fused_dx not in ("auto", "on", "off"):
             raise ValueError(f"unknown fused_dx {self.fused_dx!r}")
-        if self.fused_gather not in ("factored", "phi"):
+        if self.fused_gather not in ("auto", "factored", "phi"):
             raise ValueError(f"unknown fused_gather {self.fused_gather!r}")
         if self.engine == "auto":
             # measured basis: PERF_NOTES.md per-layer table (fourier wins all
@@ -397,6 +402,25 @@ def _reduce_to_shape(g, shape):
     return g.reshape(shape)
 
 
+# Calibration point for fused_gather='auto': the fused backward picks the
+# table-factored gather at or above this many frequency bins and the
+# per-unit phi gather below. The phi form's VPU gather passes scale with
+# bins x units while the factored bin stage runs once against static
+# tables, so high-bin shapes belong to the factored form. 257 puts the
+# boundary exactly where the phi form's own auto-gate gives up (B <= 256;
+# measured conv4 B=153 phi 1.08 vs factored 1.65 ms, conv2 B=496 factored
+# 0.71 vs phi 0.94 - PERF_NOTES round 3). Re-calibrate from
+# benchmarks/fused_bwd_probe.py when the kernels change.
+FACTORED_MIN_BINS = 257
+
+
+def _resolve_gather(cfg: "DAUConvSettings", bins: int) -> str:
+    """Trace-time resolution of the fused backward's gather form."""
+    if cfg.fused_gather != "auto":
+        return cfg.fused_gather
+    return "factored" if bins >= FACTORED_MIN_BINS else "phi"
+
+
 def _shardable_axis(am, axis: str, dim: int) -> tp.Optional[str]:
     """Mesh axis name if it exists, is >1, and evenly divides `dim`."""
     if (not am.empty and axis in am.axis_names and am.shape[axis] > 1
@@ -405,8 +429,8 @@ def _shardable_axis(am, axis: str, dim: int) -> tp.Optional[str]:
     return None
 
 
-def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
-                      gy_blur=None, w_units=None):
+def _fused_grads_call(cfg: DAUConvSettings, route: str, gather: str,
+                      xb, gy, mu13, mu23, gy_blur=None, w_units=None):
     """Invoke the fused backward kernel, optionally shard_mapped over the
     data axis of the ambient mesh.
 
@@ -430,7 +454,7 @@ def _fused_grads_call(cfg: DAUConvSettings, route: str, xb, gy, mu13, mu23,
         return fourier_engine.fourier_unit_grads_fused2(
             xb_, gy_, mu13_, mu23_, cfg.synth_kernel_size,
             cfg.use_interpolation, precision=cfg.lax_precision,
-            err_blur=gy_blur_, w_units=w_units_, gather=cfg.fused_gather)
+            err_blur=gy_blur_, w_units=w_units_, gather=gather)
 
     if route == "direct":
         return call(xb, gy, mu13, mu23, gy_blur, w_units)
@@ -562,11 +586,12 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # bin count - no gate (the VMEM plan itself rejects what won't fit).
         p1_, p2_, rb_ = fourier_engine.plan_bins(
             h, w_sp, cfg.synth_kernel_size)
+        gather = _resolve_gather(cfg, p1_ * rb_)
         fused_ok = (cfg.fused_bwd == "on"
                     or (cfg.fused_bwd == "auto"
                         and jax.default_backend() == "tpu"
                         and (p1_ * rb_ <= 256
-                             if cfg.fused_gather == "phi" else True)))
+                             if gather == "phi" else True)))
         # Routing: GSPMD cannot partition the opaque Mosaic custom call, so
         # under a mesh context the kernel call is shard_map-wrapped over
         # whichever axes apply - the batch over 'data' (psum closes the
@@ -593,7 +618,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
                        else None)
             try:
                 res = _fused_grads_call(
-                    cfg, route, xb, gy_for_params, mu13, mu23,
+                    cfg, route, gather, xb, gy_for_params, mu13, mu23,
                     gy_blur, w3m.astype(xb.dtype) if with_dx else None)
                 if with_dx:
                     grads, dx = res
@@ -606,7 +631,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
             "dau bwd %dx%d S=%d F=%d B=%d: %s",
             h, w_sp, s_ch, f_ch, p1_ * rb_,
             ("unfused spectral gather" if grads is None else
-             f"fused kernel (route={route}, gather={cfg.fused_gather}, "
+             f"fused kernel (route={route}, gather={gather}, "
              f"dx={'fused' if dx is not None else 'separate'})"))
         if grads is None:
             grads = fourier_engine.fourier_unit_grads(

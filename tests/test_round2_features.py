@@ -278,3 +278,56 @@ def test_remat_phi_with_fused_backward():
     for a, b, nm in zip(g1, g0, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6, err_msg=nm)
+
+
+def test_fused_gather_auto_resolution():
+    """fused_gather='auto' resolves per shape at trace time: the per-unit
+    phi gather below FACTORED_MIN_BINS, the table-factored form at/above;
+    explicit settings pass through unchanged."""
+    from dau_convnet_tpu.ops.dau_conv import (FACTORED_MIN_BINS,
+                                              _resolve_gather)
+
+    cfg_auto = DAUConvSettings(engine="fourier", fused_gather="auto")
+    assert _resolve_gather(cfg_auto, FACTORED_MIN_BINS - 1) == "phi"
+    assert _resolve_gather(cfg_auto, FACTORED_MIN_BINS) == "factored"
+    assert _resolve_gather(
+        DAUConvSettings(engine="fourier", fused_gather="phi"), 10_000) == "phi"
+    assert _resolve_gather(
+        DAUConvSettings(engine="fourier", fused_gather="factored"),
+        1) == "factored"
+
+
+def test_fused_gather_auto_numerics_match_phi(caplog):
+    """At a small-bin shape, fused_gather='auto' selects (and logs) the phi
+    gather and produces byte-identical grads to an explicit 'phi' config."""
+    import dataclasses
+    import logging
+
+    rng = np.random.default_rng(7)
+    N, S, G, F, H, W = 2, 8, 2, 8, 10, 9
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg_phi = DAUConvSettings(kernel_size=9, engine="fourier",
+                              fused_bwd="on", fused_gather="phi")
+    cfg_auto = dataclasses.replace(cfg_phi, fused_gather="auto")
+
+    def run(cfg):
+        @jax.jit
+        def f(x, w, mu1, mu2, sig, err):
+            y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
+                             x, w, mu1, mu2, sig)
+            return y, vjp(err)
+        return f(x, w, mu1, mu2, sig, err)
+
+    _, g_phi = run(cfg_phi)
+    with caplog.at_level(logging.INFO,
+                         logger="dau_convnet_tpu.ops.dau_conv"):
+        _, g_auto = run(cfg_auto)
+    assert "gather=phi" in caplog.text, caplog.text
+    for a, b, nm in zip(g_auto, g_phi, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
