@@ -48,5 +48,6 @@ run bench_large 3600 python bench.py --variant large
 run bench_default 3600 python bench.py
 run bench_factored 3600 python bench.py --fused-gather factored
 run bench_large_factored 3600 python bench.py --variant large --fused-gather factored
+run bench_n128 3600 python bench.py --N 128
 run bench_layer 1800 python bench.py --model layer
 echo "SESSION-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
