@@ -49,5 +49,9 @@ run bench_default 3600 python bench.py
 run bench_factored 3600 python bench.py --fused-gather factored
 run bench_large_factored 3600 python bench.py --variant large --fused-gather factored
 run bench_n128 3600 python bench.py --N 128
+# per-shape policy A/B: auto = factored at conv2-class bin counts (B>=257,
+# where the phi form is gated off anyway), phi elsewhere
+run bench_auto_gather 3600 python bench.py --fused-gather auto
+run bench_large_auto 3600 python bench.py --variant large --fused-gather auto
 run bench_layer 1800 python bench.py --model layer
 echo "SESSION-DONE $(date +%H:%M:%S)" | tee -a "$L/session.log"
