@@ -331,3 +331,49 @@ def test_fused_gather_auto_numerics_match_phi(caplog):
     for a, b, nm in zip(g_auto, g_phi, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=nm)
+
+
+def test_fused_gather_auto_resolves_factored_at_high_bins(caplog):
+    """At a high-bin shape (B >= FACTORED_MIN_BINS) fused_gather='auto'
+    selects (and logs) the table-factored gather; grads match the unfused
+    spectral path."""
+    import dataclasses
+    import logging
+
+    from dau_convnet_tpu.ops import fourier_engine
+    from dau_convnet_tpu.ops.dau_conv import FACTORED_MIN_BINS
+
+    H = W = 14
+    ks = 17
+    p1, _, rb = fourier_engine.plan_bins(H, W, ks)
+    assert p1 * rb >= FACTORED_MIN_BINS  # the shape exercises the branch
+
+    rng = np.random.default_rng(11)
+    N, S, G, F = 2, 8, 2, 8
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    mu1 = jnp.asarray(rng.uniform(-6, 6, (1, S, G, F)), jnp.float32)
+    mu2 = jnp.asarray(rng.uniform(-6, 6, (1, S, G, F)), jnp.float32)
+    sig = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    cfg_unfused = DAUConvSettings(kernel_size=ks, engine="fourier",
+                                  precision="highest", fused_bwd="off")
+    cfg_auto = dataclasses.replace(cfg_unfused, fused_bwd="on",
+                                   fused_gather="auto")
+
+    def run(cfg):
+        @jax.jit
+        def f(x, w, mu1, mu2, sig, err):
+            y, vjp = jax.vjp(lambda *a: dau_conv2d_op(cfg, *a),
+                             x, w, mu1, mu2, sig)
+            return y, vjp(err)
+        return f(x, w, mu1, mu2, sig, err)
+
+    _, g_ref = run(cfg_unfused)
+    with caplog.at_level(logging.INFO,
+                         logger="dau_convnet_tpu.ops.dau_conv"):
+        _, g_auto = run(cfg_auto)
+    assert "gather=factored" in caplog.text, caplog.text
+    for a, b, nm in zip(g_auto, g_ref, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=nm)
