@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedPlanError", "fused_spectral_grads_call"]
+__all__ = ["FusedPlanError", "fused_spectral_grads_call",
+           "spectral_plan", "factored_plan"]
 
 
 class FusedPlanError(ValueError):
@@ -535,15 +536,13 @@ def _block_shapes(f: int, s: int, interpret: bool):
     return f_blk, s_blk
 
 
-def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
-                         p1b: int, rbb: int, esb=None, wg=None,
-                         interpret: bool, vmem_budget: int | None):
-    """Assembly for the factored-gather kernel (see _kernel_factored)."""
-    b, m, n2, s = xs.shape
-    f = es.shape[2]
-    nj, g = a1.shape[0], a1.shape[1]
-    has_dx = esb is not None
-    itemsize = jnp.dtype(xs.dtype).itemsize
+def factored_plan(*, m: int, n2: int, s: int, f: int, nj: int, g: int,
+                  p1b: int, rbb: int, itemsize: int, has_dx: bool,
+                  interpret: bool, vmem_budget: int | None = None):
+    """Host-side grid/VMEM plan of the factored-gather kernel (shape math
+    only, no device work). Returns {k1_blk, n_k1, c_blk, s_blk, f_blk,
+    single, vmem_budget}; raises FusedPlanError when no plan fits. Split
+    out so tests/probes can pin production-shape plans off-chip."""
     f_blk, s_blk = _block_shapes(f, s, interpret)
 
     if vmem_budget is None:
@@ -552,19 +551,24 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
         # are worth more single-chunk room than the phi path needs
         vmem_budget = 112 * 1024 * 1024
 
-    # C chooser: the largest power of two whose live f32 P/Q block-dot
+    # C ceiling: the largest power of two whose live f32 P/Q block-dot
     # outputs (4 dots + 2 merges of (nj*C, s_blk, f_blk)) stay within a
-    # third of the budget. The peak transient set is max(P/Q stage,
-    # E stage: 2 dots + 1 merge of (nj^2, s_blk, f_blk)).
+    # third of the budget, and whose dot K dim (C*2rb stacked halves)
+    # stays MXU-friendly.
     temp_cap = vmem_budget // 3
     c_cap = 1
     while (c_cap * 2 * rbb <= 256
            and 6 * nj * c_cap * 2 * s_blk * f_blk * 4 <= temp_cap):
         c_cap *= 2
-    blk_tmp = max(6 * nj * c_cap * s_blk * f_blk * 4,
-                  3 * nj * nj * s_blk * f_blk * 4)
 
-    def footprint(k1_blk):
+    def blk_tmp_for(c):
+        # peak transient set: max(P/Q stage: 4 dots + 2 merges of
+        # (nj*C, s_blk, f_blk) f32, E stage: 2 dots + 1 merge of
+        # (nj^2, s_blk, f_blk) f32)
+        return max(6 * nj * c * s_blk * f_blk * 4,
+                   3 * nj * nj * s_blk * f_blk * 4)
+
+    def footprint(k1_blk, blk_tmp):
         kb_c = k1_blk * rbb
         single = k1_blk >= p1b
         p1p_ = _ceil_to(p1b, k1_blk)
@@ -584,19 +588,53 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
             total += 5 * rbb * s_blk * f_blk * 4        # px / w*phi temps
         return total
 
-    k1_blk = None
-    if footprint(p1b) <= vmem_budget:
-        k1_blk = p1b
-    else:
-        for n_k1_c in range(2, p1b + 1):
-            cand = _ceil_to(-(-p1b // n_k1_c), 8)
-            if footprint(cand) <= vmem_budget:
-                k1_blk = cand
-                break
-    if k1_blk is None:
+    # Joint (chunks, C) search, fewest chunks first, then largest C: a
+    # chunk multiplies the xs/es/table block traffic and the grid-step
+    # overhead, while a narrower C only skinnies the P/Q dots - at AlexNet
+    # conv4 the dx variant at C=8 missed the single-chunk plan by ~2 MB of
+    # C-scaled dot temporaries and paid 3x the grid steps; C=4 fits.
+    best = None  # (n_k1, -c, k1_blk)
+    c = c_cap
+    while c >= 1:
+        bt = blk_tmp_for(c)
+        cand = None
+        if footprint(p1b, bt) <= vmem_budget:
+            cand = (1, -c, p1b)
+        else:
+            # multi-chunk: k1_blk must be a multiple of 8 so the in-kernel
+            # table slice start is provably sublane-aligned
+            for n_k1_c in range(2, p1b + 1):
+                k1c = _ceil_to(-(-p1b // n_k1_c), 8)
+                if footprint(k1c, bt) <= vmem_budget:
+                    cand = (-(-p1b // k1c), -c, k1c)
+                    break
+        if cand is not None and (best is None or cand < best):
+            best = cand
+        c //= 2
+    if best is None:
         raise FusedPlanError(
-            f"fused_factored: no VMEM plan for B={b} M={m} S={s} F={f}")
-    n_k1 = -(-p1b // k1_blk)
+            f"fused_factored: no VMEM plan for B={p1b * rbb} M={m} "
+            f"S={s} F={f}")
+    n_k1, neg_c, k1_blk = best
+    c_blk = min(-neg_c, 1 << (k1_blk.bit_length() - 1))
+    return dict(k1_blk=k1_blk, n_k1=n_k1, c_blk=c_blk, s_blk=s_blk,
+                f_blk=f_blk, single=n_k1 == 1, vmem_budget=vmem_budget)
+
+
+def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
+                         p1b: int, rbb: int, esb=None, wg=None,
+                         interpret: bool, vmem_budget: int | None):
+    """Assembly for the factored-gather kernel (see _kernel_factored)."""
+    b, m, n2, s = xs.shape
+    f = es.shape[2]
+    nj, g = a1.shape[0], a1.shape[1]
+    has_dx = esb is not None
+    plan = factored_plan(m=m, n2=n2, s=s, f=f, nj=nj, g=g, p1b=p1b,
+                         rbb=rbb, itemsize=jnp.dtype(xs.dtype).itemsize,
+                         has_dx=has_dx, interpret=interpret,
+                         vmem_budget=vmem_budget)
+    k1_blk, n_k1 = plan["k1_blk"], plan["n_k1"]
+    s_blk, f_blk = plan["s_blk"], plan["f_blk"]
     p1p = n_k1 * k1_blk
     kb_c = k1_blk * rbb
 
@@ -625,7 +663,7 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
 
     # Block-diagonal batched tables: C k1 rows per k2-contraction dot and
     # the whole E stage as one dot per cos/sin (see _kernel_factored).
-    c_blk = min(c_cap, 1 << (k1_blk.bit_length() - 1))
+    c_blk = plan["c_blk"]
     eye_c = jnp.eye(c_blk, dtype=t2cT.dtype)
     t2cblk = (t2cT[:, None, None, :] * eye_c[None, :, :, None]
               ).reshape(nj * c_blk, c_blk * rbb)
@@ -741,6 +779,59 @@ def _fused_factored_call(xs, es, t1, t2, a1, a2, *, n_img: int,
     return jnp.transpose(res, (0, 2, 1, 3))       # -> (M, S, G, F)
 
 
+def spectral_plan(*, m: int, n2: int, s: int, f: int, nj: int, g: int,
+                  p1b: int, rbb: int, itemsize: int, has_dx: bool,
+                  interpret: bool, vmem_budget: int | None = None):
+    """Host-side grid/VMEM plan of the phi-gather kernel (shape math only,
+    no device work). Returns {k1_blk, n_k1, s_blk, f_blk, single,
+    vmem_budget}; raises FusedPlanError when no plan fits. Split out so
+    tests/probes can pin production-shape plans off-chip."""
+    f_blk, s_blk = _block_shapes(f, s, interpret)
+
+    def footprint(k1_blk):
+        kb_c = k1_blk * rbb
+        xs_b = 2 * kb_c * m * n2 * s_blk * itemsize
+        es_b = 2 * kb_c * n2 * f_blk * itemsize
+        t_b = 2 * kb_c * m * s_blk * f_blk * itemsize
+        phi_b = 2 * kb_c * s_blk * f_blk * 4
+        z_b = 2 * kb_c * s_blk * f_blk * 4
+        py_b = 2 * (k1_blk + rbb) * s_blk * f_blk * 4
+        a_b = 4 * nj * g * s_blk * f_blk * itemsize
+        total = xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
+        if has_dx:
+            total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
+            total += kb_c * n2 * s_blk * 4              # dx out block
+            total += 4 * rbb * s_blk * f_blk * 4        # per-k-group w*phi
+            total += 2 * k1_blk * s_blk * f_blk * 4     # py scratch refs
+        return total
+
+    if vmem_budget is None:
+        # the dx outputs add ~10 MB at the model shapes; a 100 MB budget
+        # (25 MB Mosaic headroom under the 124 MB limit) pushed conv4 off
+        # the single-chunk plan into 27 grid steps (~12 us tunnel overhead
+        # each) - give the dx variant the measured-safe 112 MB instead
+        vmem_budget = (112 if has_dx else 100) * 1024 * 1024
+    budget = vmem_budget
+    k1_blk = None
+    if footprint(p1b) <= budget:
+        k1_blk = p1b              # single chunk, exact table rows
+    else:
+        # multi-chunk: k1_blk must be a multiple of 8 so the in-kernel
+        # table slice start is provably sublane-aligned
+        for n_k1 in range(2, p1b + 1):
+            cand = _ceil_to(-(-p1b // n_k1), 8)
+            if footprint(cand) <= budget:
+                k1_blk = cand
+                break
+    if k1_blk is None:
+        raise FusedPlanError(
+            f"fused_spectral_grads: no VMEM plan for B={p1b * rbb} M={m} "
+            f"S={s} F={f}; use the unfused fourier path")
+    n_k1 = -(-p1b // k1_blk)
+    return dict(k1_blk=k1_blk, n_k1=n_k1, s_blk=s_blk, f_blk=f_blk,
+                single=n_k1 == 1, vmem_budget=vmem_budget)
+
+
 def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
                               p1b: int, rbb: int,
                               esb=None, wg=None,
@@ -782,50 +873,12 @@ def fused_spectral_grads_call(xs, es, t1, t2, a1, a2, *, n_img: int,
             esb=esb, wg=wg, interpret=interpret, vmem_budget=vmem_budget)
     if gather != "phi":
         raise ValueError(f"unknown gather mode {gather!r}")
-    itemsize = jnp.dtype(xs.dtype).itemsize
-
-    f_blk, s_blk = _block_shapes(f, s, interpret)
-
-    def footprint(k1_blk):
-        kb_c = k1_blk * rbb
-        xs_b = 2 * kb_c * m * n2 * s_blk * itemsize
-        es_b = 2 * kb_c * n2 * f_blk * itemsize
-        t_b = 2 * kb_c * m * s_blk * f_blk * itemsize
-        phi_b = 2 * kb_c * s_blk * f_blk * 4
-        z_b = 2 * kb_c * s_blk * f_blk * 4
-        py_b = 2 * (k1_blk + rbb) * s_blk * f_blk * 4
-        a_b = 4 * nj * g * s_blk * f_blk * itemsize
-        total = xs_b + es_b + t_b + phi_b + z_b + py_b + a_b
-        if has_dx:
-            total += 2 * kb_c * n2 * f_blk * itemsize   # esb block (dbuf)
-            total += kb_c * n2 * s_blk * 4              # dx out block
-            total += 4 * rbb * s_blk * f_blk * 4        # per-k-group w*phi
-            total += 2 * k1_blk * s_blk * f_blk * 4     # py scratch refs
-        return total
-
-    if vmem_budget is None:
-        # the dx outputs add ~10 MB at the model shapes; a 100 MB budget
-        # (25 MB Mosaic headroom under the 124 MB limit) pushed conv4 off
-        # the single-chunk plan into 27 grid steps (~12 us tunnel overhead
-        # each) - give the dx variant the measured-safe 112 MB instead
-        vmem_budget = (112 if has_dx else 100) * 1024 * 1024
-    budget = vmem_budget
-    k1_blk = None
-    if footprint(p1b) <= budget:
-        k1_blk = p1b              # single chunk, exact table rows
-    else:
-        # multi-chunk: k1_blk must be a multiple of 8 so the in-kernel
-        # table slice start is provably sublane-aligned
-        for n_k1 in range(2, p1b + 1):
-            cand = _ceil_to(-(-p1b // n_k1), 8)
-            if footprint(cand) <= budget:
-                k1_blk = cand
-                break
-    if k1_blk is None:
-        raise FusedPlanError(
-            f"fused_spectral_grads: no VMEM plan for B={b} M={m} S={s} "
-            f"F={f}; use the unfused fourier path")
-    n_k1 = -(-p1b // k1_blk)
+    plan = spectral_plan(m=m, n2=n2, s=s, f=f, nj=nj, g=g, p1b=p1b,
+                         rbb=rbb, itemsize=jnp.dtype(xs.dtype).itemsize,
+                         has_dx=has_dx, interpret=interpret,
+                         vmem_budget=vmem_budget)
+    k1_blk, n_k1 = plan["k1_blk"], plan["n_k1"]
+    s_blk, f_blk = plan["s_blk"], plan["f_blk"]
     p1p = n_k1 * k1_blk
 
     # kernel-side layouts: units on the leading (untiled) dim of the one-hot

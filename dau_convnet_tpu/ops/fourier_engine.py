@@ -477,6 +477,33 @@ def fourier_unit_grads(x_blur_k, err, mu1, mu2, ks: int,
                             precision=precision)
 
 
+def fused_plan_info(h: int, w: int, ks: int, *, n: int, s: int, f: int,
+                    g: int, m: int = 3, itemsize: int = 2,
+                    has_dx: bool = False, gather: str = "phi",
+                    interpret: bool = False,
+                    vmem_budget: int | None = None):
+    """Shape-only introspection of the fused backward's grid/VMEM plan at a
+    layer shape (no device work, no tracing): derives the kernel-call
+    operand dims exactly as `fourier_unit_grads_fused2` would and returns
+    the plan dict from kernels.fused_bwd.{spectral,factored}_plan (plus
+    'bins'). Lets tests pin production-shape plans off-chip - an
+    accidental multi-chunk regression (e.g. a VMEM-budget or scratch-size
+    change pushing AlexNet conv4 into 27 grid steps) shows up as a plan
+    diff, not a mystery slowdown on the chip. itemsize: 2 = bf16
+    (production), 4 = f32."""
+    from ..kernels.fused_bwd import factored_plan, spectral_plan
+
+    p1, p2, rb = plan_bins(h, w, ks)
+    span = ks // 2 + 1
+    nj = 2 * span + 2
+    plan_fn = {"phi": spectral_plan, "factored": factored_plan}[gather]
+    plan = plan_fn(m=m, n2=2 * n, s=s, f=f, nj=nj, g=g, p1b=p1, rbb=rb,
+                   itemsize=itemsize, has_dx=has_dx, interpret=interpret,
+                   vmem_budget=vmem_budget)
+    plan["bins"] = p1 * rb
+    return plan
+
+
 def fourier_unit_grads_fused2(x_blur_k, err, mu1, mu2, ks: int,
                               use_interpolation: bool = True,
                               precision=jax.lax.Precision.DEFAULT,
