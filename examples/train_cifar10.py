@@ -80,9 +80,10 @@ def synthetic_cifar(n=2048, num_classes=10, seed=0):
     return x, y.astype(np.int32), x[:512], y[:512].astype(np.int32)
 
 
-def synthetic_spatial(n=50000, num_classes=10, seed=0, n_test=2000):
+def synthetic_spatial(n=50000, num_classes=10, seed=0, n_test=2000,
+                      distinct=False):
     """CIFAR-scale spatial-RELATION task (zero-egress stand-in for real
-    CIFAR at full 50k x 32x32x3 scale): every image contains two identical
+    CIFAR at full 50k x 32x32x3 scale): every image contains two
     Gaussian blobs; the class is encoded ONLY in the displacement vector
     between them (angle = class * 2pi/10, radius 9px, +-1px jitter), at a
     random absolute position, polarity-randomized per blob pair, over
@@ -90,7 +91,17 @@ def synthetic_spatial(n=50000, num_classes=10, seed=0, n_test=2000):
     statistics exist, so a classifier must integrate features at
     class-specific relative offsets - the aggregation-by-displacement
     regime DAUs target (reference paper positioning) - rather than match
-    local appearance."""
+    local appearance.
+
+    distinct=False (the original task): the two blobs are IDENTICAL, so v
+    and -v are indistinguishable and classes k and k + num_classes/2 alias
+    exactly - the Bayes ceiling is 50% top-1 (measured: trained nets sit
+    at 0.49-0.50 top-1 with ~0.97 accuracy onto the merged class-pairs,
+    i.e. the task is solved to its information limit; see
+    examples/analyze_spatial.py). distinct=True ('spatial2') breaks the
+    ambiguity - blob B is wider (sigma 2.4 vs 1.4) at the same amplitude,
+    so the displacement DIRECTION is identifiable and the ceiling is
+    ~100%."""
     rng = np.random.default_rng(seed)
     total = n + n_test
     y = rng.integers(0, num_classes, (total,))
@@ -110,9 +121,11 @@ def synthetic_spatial(n=50000, num_classes=10, seed=0, n_test=2000):
     sign = rng.choice([-1.0, 1.0], total).astype(np.float32)
     ii = np.arange(size, dtype=np.float32)
     x = rng.normal(0, 0.3, (total, size, size)).astype(np.float32)
-    for px, py, amp in ((ax, ay, sign), (bx, by, sign), (cx, cy, 0.7 * sign)):
-        gx = np.exp(-0.5 * ((ii[None, :] - px[:, None]) / 1.4) ** 2)
-        gy = np.exp(-0.5 * ((ii[None, :] - py[:, None]) / 1.4) ** 2)
+    sig_b = 2.4 if distinct else 1.4
+    for px, py, amp, sg in ((ax, ay, sign, 1.4), (bx, by, sign, sig_b),
+                            (cx, cy, 0.7 * sign, 1.4)):
+        gx = np.exp(-0.5 * ((ii[None, :] - px[:, None]) / sg) ** 2)
+        gy = np.exp(-0.5 * ((ii[None, :] - py[:, None]) / sg) ** 2)
         x += amp[:, None, None] * gy[:, :, None] * gx[:, None, :]
     x = np.broadcast_to(x[:, None], (total, 3, size, size)).reshape(
         total, 3, size, size).copy()
@@ -163,6 +176,8 @@ def load_data(args):
         return digits_32x32()
     if args.dataset == "spatial":
         return synthetic_spatial(n=args.train_size)
+    if args.dataset == "spatial2":
+        return synthetic_spatial(n=args.train_size, distinct=True)
     return synthetic_cifar()
 
 
@@ -184,7 +199,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=0.01)
-    ap.add_argument("--dataset", choices=["synthetic", "digits", "spatial"],
+    ap.add_argument("--dataset",
+                    choices=["synthetic", "digits", "spatial", "spatial2"],
                     default="synthetic")
     ap.add_argument("--train-size", type=int, default=50000,
                     help="train-set size for --dataset spatial (CIFAR scale)")

@@ -89,3 +89,28 @@ def test_cifar_npz_loader(tmp_path):
 
     x, y, xt, yt = load_data(Args2())
     assert len(x) == 45 and len(xt) == 5
+
+
+def test_spatial_task_generator_pinned():
+    """The spatial-relation generator must stay bit-stable: the recorded
+    training accuracies (docs/TRAINING_RESULTS.md) and the aliasing
+    analysis (examples/analyze_spatial.py) are tied to these exact bytes.
+    spatial2 (distinct=True) changes ONLY blob B's width - labels and
+    placements are shared with v1."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.train_cifar10 import synthetic_spatial
+
+    x, y, xt, yt = synthetic_spatial(n=64, n_test=16)
+    assert x.shape == (64, 3, 32, 32) and xt.shape == (16, 3, 32, 32)
+    np.testing.assert_allclose(np.float64(x).sum(), -475.8363665071174,
+                               rtol=1e-9)
+    assert int(y.sum()) == 296
+    np.testing.assert_allclose(float(x[0, 0, 16, 16]), -0.7124876976013184,
+                               rtol=1e-6)
+
+    x2, y2, _, _ = synthetic_spatial(n=64, n_test=16, distinct=True)
+    assert np.array_equal(y2, y)          # same labels/placements
+    assert not np.array_equal(x2, x)      # blob B width differs
