@@ -232,3 +232,46 @@ def test_recorded_sigma_trained_params_load():
     logits = net.apply({"params": fresh, "batch_stats": batch_stats}, xb)
     acc = float((np.asarray(logits).argmax(-1) == yb).mean())
     assert acc >= 0.85, f"recorded-artifact eval accuracy {acc}"
+
+
+def test_recorded_spatial_artifact_pair_accuracy():
+    """The recorded spatial-task artifact (docs/TRAINING_RESULTS.md round-4
+    correction) reproduces the aliasing analysis: top-1 is pinned at the
+    task's 50% Bayes ceiling while accuracy onto the merged class-pairs
+    (k vs k+5) - the information-limit metric - stays high. Evaluated on a
+    fixed 500-image slice of the pinned generator's test split."""
+    import os
+    import sys
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "spatial_dau_4000_params.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.train_cifar10 import synthetic_spatial
+
+    from dau_convnet_tpu.utils.checkpoint import load_params_npz
+
+    trees = load_params_npz(path)
+    params, batch_stats = trees["params"], trees["batch_stats"]
+    _, _, x_test, y_test = synthetic_spatial(n=50000)
+    x_test, y_test = x_test[:500], y_test[:500]
+    net = DAUCifarNet(train=False, engine="fourier")
+
+    @jax.jit
+    def logits_fn(x):
+        return net.apply({"params": params, "batch_stats": batch_stats}, x)
+
+    preds = []
+    for i in range(0, len(x_test), 125):
+        preds.append(np.asarray(
+            logits_fn(jnp.asarray(x_test[i:i + 125])).argmax(-1)))
+    pred = np.concatenate(preds)
+    top1 = (pred == y_test).mean()
+    pair = ((pred % 5) == (y_test % 5)).mean()
+    # recorded full-test values: top-1 0.4975, pair 0.9650 (the 500-image
+    # slice adds ~+-0.02 sampling noise)
+    assert 0.42 <= top1 <= 0.58, top1
+    assert pair >= 0.92, pair
