@@ -57,6 +57,26 @@ def test_conv2_plans_exist_and_chunk():
 
 
 @pytest.mark.quick
+def test_resolve_gather_policy():
+    """The fused_gather='auto' trace-time policy: factored at/above
+    FACTORED_MIN_BINS frequency bins, phi below; explicit forms pass
+    through untouched. (The end-to-end numerics of the auto-selected
+    factored branch run in the full tier:
+    test_round2_features.py::test_fused_gather_auto_resolves_factored_
+    at_high_bins.)"""
+    from dau_convnet_tpu.ops.dau_conv import (
+        DAUConvSettings, FACTORED_MIN_BINS, _resolve_gather)
+
+    auto = DAUConvSettings(kernel_size=9, fused_gather="auto")
+    assert _resolve_gather(auto, FACTORED_MIN_BINS - 1) == "phi"
+    assert _resolve_gather(auto, FACTORED_MIN_BINS) == "factored"
+    for form in ("phi", "factored"):
+        cfg = DAUConvSettings(kernel_size=9, fused_gather=form)
+        assert _resolve_gather(cfg, FACTORED_MIN_BINS - 1) == form
+        assert _resolve_gather(cfg, FACTORED_MIN_BINS) == form
+
+
+@pytest.mark.quick
 def test_plan_rejects_oversized_shape():
     """No-plan shapes raise FusedPlanError (the op catches it and keeps the
     unfused path)."""
