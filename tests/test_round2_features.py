@@ -377,3 +377,46 @@ def test_fused_gather_auto_resolves_factored_at_high_bins(caplog):
     for a, b, nm in zip(g_auto, g_ref, ["dx", "dw", "dmu1", "dmu2", "dsig"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6, err_msg=nm)
+
+
+def test_jax_checkpoint_composes():
+    """`jax.checkpoint` around a two-DAU-layer function (the standard
+    activation-memory lever for deep stacks) must leave gradients exactly
+    equal to the unremated form - the custom-VJP op's residuals ride
+    through remat - including with the fused backward forced on."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    N, S, G, F, H, W = 2, 8, 2, 8, 10, 9
+    x = jnp.asarray(rng.random((N, S, H, W)), jnp.float32)
+    err = jnp.asarray(rng.standard_normal((N, F, H, W)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((1, F, G, F)) * 0.1, jnp.float32)
+    mu = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), jnp.float32)
+    mu2l = jnp.asarray(rng.uniform(-3, 3, (1, F, G, F)), jnp.float32)
+    sig1 = jnp.full((1, S, G, F), 0.5, jnp.float32)
+    sig2 = jnp.full((1, F, G, F), 0.5, jnp.float32)
+
+    for fused in ("off", "on"):
+        cfg = DAUConvSettings(kernel_size=9, engine="fourier",
+                              fused_bwd=fused)
+
+        def stack(x, w1, w2):
+            h = jax.nn.relu(dau_conv2d_op(cfg, x, w1, mu, mu, sig1))
+            return dau_conv2d_op(cfg, h, w2, mu2l, mu2l, sig2)
+
+        def run(f):
+            @jax.jit
+            def g(x, w1, w2, err):
+                y, vjp = jax.vjp(f, x, w1, w2)
+                return y, vjp(err)
+            return g(x, w1, w2, err)
+
+        y0, g0 = run(stack)
+        y1, g1 = run(jax.checkpoint(stack))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-6, err_msg=f"fused={fused}")
+        for a, b, nm in zip(g1, g0, ["dx", "dw1", "dw2"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"{nm} fused={fused}")
