@@ -45,6 +45,23 @@ import jax.numpy as jnp
 # affects traced behavior): DAU_LOGLEVEL=INFO python bench.py
 logging.basicConfig(level=os.environ.get("DAU_LOGLEVEL", "WARNING"))
 
+# --- wall-clock budget -------------------------------------------------
+# The driver's round-end capture has a hard timeout (BENCH_r04 died rc=124
+# with ZERO output because the headline JSON printed only after up to 80 min
+# of optional variant work). Everything below is budgeted against _T0 so the
+# bench degrades to headline-only instead of being killed mid-flight.
+_T0 = time.monotonic()
+
+
+def _total_budget_s() -> float:
+    """Total wall-clock budget for the whole bench (default 25 min - safely
+    under the assumed <=30 min driver timeout)."""
+    return float(os.environ.get("DAU_BENCH_TOTAL_BUDGET_S", 1500))
+
+
+def _remaining_s() -> float:
+    return _total_budget_s() - (time.monotonic() - _T0)
+
 # Persistent compilation cache: the production step embeds Mosaic kernels
 # whose first compile is minutes over the remote-compile tunnel; cached
 # executables make warm runs start in seconds.
@@ -79,6 +96,9 @@ def wait_for_backend(timeout_s=None, poll_s=30, probe_timeout=150):
 
     if timeout_s is None:
         timeout_s = float(os.environ.get("DAU_BENCH_BACKEND_WAIT_S", 900))
+        # never let the backend wait starve the measurement itself: leave at
+        # least 8 min of the total budget for the headline numbers
+        timeout_s = min(timeout_s, max(60.0, _remaining_s() - 480))
     if timeout_s <= 0:  # 0 disables the wait entirely (no probe at all)
         return
     code = ("import jax, jax.numpy as jnp;"
@@ -182,15 +202,20 @@ def time_chained(make_step, carry, iters=100, pairs=3):
     return sorted(dts)[len(dts) // 2]
 
 
-def _measure_variant_subprocess(vname, args, t_conv, _run=None):
+def _measure_variant_subprocess(vname, args, t_conv, _run=None, extra=(),
+                                own_baseline=False):
     """Measure one AlexNet-DAU variant in a bounded subprocess.
 
     The headline numbers are already in hand when this runs; a tunnel hang
     inside an in-process variant measurement (failure mode (b), uncatchable
     by `except`) must not prevent the headline line from printing, so the
-    variant gets its own process and a hard timeout. Returns the variants[]
-    entry dict; never raises (errors come back as {"error": ...}).
-    `_run` injects a subprocess.run stand-in for tests.
+    variant gets its own process and a hard timeout (further capped by the
+    remaining total budget). Returns the variants[] entry dict; never raises
+    (errors come back as {"error": ...}). `extra` appends argv (e.g. a
+    different --N); `own_baseline=True` takes the subprocess's own
+    vs_baseline (its conv was measured at ITS batch size, so the headline
+    conv median is not comparable). `_run` injects a subprocess.run stand-in
+    for tests.
     """
     import subprocess
     run = _run or subprocess.run
@@ -201,10 +226,11 @@ def _measure_variant_subprocess(vname, args, t_conv, _run=None):
                "--fused-bwd", args.fused_bwd,
                "--fused-dx", args.fused_dx,
                "--fused-gather", args.fused_gather,
-               "--iters", str(args.iters)]
-        r = run(cmd, capture_output=True, text=True, env=env,
-                timeout=float(os.environ.get(
-                    "DAU_BENCH_VARIANT_TIMEOUT_S", 2400)))
+               "--iters", str(args.iters)] + list(extra)
+        timeout = min(float(os.environ.get("DAU_BENCH_VARIANT_TIMEOUT_S",
+                                           2400)),
+                      max(60.0, _remaining_s() - 60))
+        r = run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
         line = next((l for l in reversed(r.stdout.splitlines())
                      if l.startswith("{")), None)
         if line is None:
@@ -213,16 +239,19 @@ def _measure_variant_subprocess(vname, args, t_conv, _run=None):
                 f"variant subprocess rc={r.returncode}: "
                 f"{tail[-1] if tail else 'no output'}")
         sub = json.loads(line)
-        return {
+        out = {
             "images_per_sec": sub["value"],
             "dau_step_ms": sub["detail"]["dau_step_ms"],
-            # ratio against the headline run's conv median so the three
-            # variants share one baseline
-            "vs_baseline": round(
+            # ratio against the headline run's conv median so the variants
+            # share one baseline (except own_baseline runs, see above)
+            "vs_baseline": sub["vs_baseline"] if own_baseline else round(
                 t_conv * 1e3 / sub["detail"]["dau_step_ms"], 4),
             "dau_step_pairs_ms": sub["detail"]["dau_step_pairs_ms"],
             "dau_units": sub["detail"]["dau_units"],
         }
+        if own_baseline:
+            out["conv3x3_step_ms"] = sub["detail"]["conv3x3_step_ms"]
+        return out
     except Exception as e:  # noqa: BLE001 - keep the capture alive
         return {"error": f"{type(e).__name__}: {e}"[:300]}
 
@@ -291,6 +320,10 @@ def bench_alexnet(args):
     gather_flops = sum(2 * N * s * g_units * f * hw * hw * taps * 5
                        for s, f, hw in layer_px)
 
+    # tight budget -> fewer timing pairs (3 is the round-2 default; 5 only
+    # tightens the headline-ratio spread when there's time to pay for it)
+    pairs = 5 if _remaining_s() > 600 else 3
+
     def measure_dau(variant, pairs):
         dau = AlexNetDAU(variant=variant, train=False, dtype=dtype,
                          engine=args.engine, fused_bwd=args.fused_bwd,
@@ -300,7 +333,7 @@ def bench_alexnet(args):
         t = time_chained(step, carry, args.iters, pairs=pairs)
         return t, time_chained.last_pairs_ms, dau.num_dau_units()
 
-    t_dau, dau_pairs, dau_units = measure_dau(args.variant, pairs=5)
+    t_dau, dau_pairs, dau_units = measure_dau(args.variant, pairs=pairs)
 
     conv = AlexNetConv()
     conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
@@ -308,28 +341,10 @@ def bench_alexnet(args):
     # the conv baseline's differenced pairs swing up to ~2x run-to-run on
     # the tunnel (observed [1.51, 2.39, 5.30] in one run); a 5-pair median
     # costs seconds and halves the headline-ratio spread
-    t_conv = time_chained(cstep, ccarry, args.iters, pairs=5)
+    t_conv = time_chained(cstep, ccarry, args.iters, pairs=pairs)
     conv_pairs = time_chained.last_pairs_ms
 
-    # Per-variant numbers in the SAME official line (round-3 verdict item
-    # 1: the small/large records belong in BENCH_rN, not only in notes).
-    # Only on the default headline invocation; each extra variant runs in a
-    # bounded SUBPROCESS: the headline numbers are already in hand at this
-    # point, and a tunnel hang inside an in-process variant measurement
-    # (failure mode (b), uncatchable by `except`) must not prevent the
-    # headline line from printing. Skipped under --device cpu (the smoke
-    # flag's purpose is one cheap pass). DAU_BENCH_ALL_VARIANTS=0 disables.
-    variants = {}
-    try:
-        if (args.variant == "default" and not _FORCED_CPU
-                and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
-            for vname in ("small", "large"):
-                variants[vname] = _measure_variant_subprocess(
-                    vname, args, t_conv)
-    except Exception as e:  # noqa: BLE001 - never sink the headline line
-        variants = {"error": f"{type(e).__name__}: {e}"[:300]}
-
-    print(json.dumps({
+    headline = {
         "metric": f"alexnet_dau_{args.variant}_trainstep_images_per_sec(N{N},227x227,{args.dtype})",
         "value": round(N / t_dau, 1),
         "unit": "images/sec",
@@ -337,7 +352,7 @@ def bench_alexnet(args):
         "detail": {
             "dau_step_ms": round(t_dau * 1e3, 3),
             "conv3x3_step_ms": round(t_conv * 1e3, 3),
-            # the five differenced pair values behind each median: the conv
+            # the differenced pair values behind each median: the conv
             # baseline swings up to ~20% pair-to-pair, so round-over-round
             # headline deltas should be read against this spread
             "dau_step_pairs_ms": dau_pairs,
@@ -348,9 +363,38 @@ def bench_alexnet(args):
             "gather_mfu_pct": round(
                 gather_flops / t_dau / PEAK_BF16_FLOPS * 100, 2),
             "device": str(jax.devices()[0]),
-            **({"variants": variants} if variants else {}),
         },
-    }))
+    }
+    # THE HEADLINE PRINTS THE MOMENT IT EXISTS (BENCH_r04 died rc=124 with
+    # zero output because this line used to wait behind up to 80 min of
+    # optional variant work). The driver takes the LAST line, so each
+    # variant below re-emits the full enriched line after it lands; a kill
+    # at any point leaves a complete, parseable record on stdout.
+    print(json.dumps(headline), flush=True)
+
+    # Per-variant numbers in the SAME official line (round-3 verdict item
+    # 1: the small/large records belong in BENCH_rN, not only in notes;
+    # round-4 item 3 adds the N=128 production-batching mode). Only on the
+    # default headline invocation; each extra variant runs in a bounded
+    # SUBPROCESS: a tunnel hang inside an in-process variant measurement
+    # (failure mode (b), uncatchable by `except`) must not sink later
+    # output. Skipped under --device cpu (the smoke flag's purpose is one
+    # cheap pass). DAU_BENCH_ALL_VARIANTS=0 disables.
+    if (args.variant == "default" and N == 32 and not _FORCED_CPU
+            and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
+        variants = {}
+        plan = (("small", "small", (), False),
+                ("large", "large", (), False),
+                ("N128", "default", ("--N", "128"), True))
+        for key, vname, extra, own in plan:
+            if _remaining_s() < 240:
+                variants[key] = {
+                    "skipped": f"budget ({_remaining_s():.0f}s left)"}
+            else:
+                variants[key] = _measure_variant_subprocess(
+                    vname, args, t_conv, extra=extra, own_baseline=own)
+            headline["detail"]["variants"] = dict(variants)
+            print(json.dumps(headline), flush=True)
 
 
 def bench_memtest(args):
@@ -408,6 +452,60 @@ def bench_memtest(args):
         "detail": {"all_finite": finite, "total_s": round(dt, 2),
                    "device": str(jax.devices()[0])},
     }))
+
+
+def _run_guarded(argv):
+    """Re-exec the bench in a watched child and guarantee exactly one
+    parseable JSON line on stdout no matter how the child dies.
+
+    The driver kills overruns with SIGKILL after its own timeout and takes
+    the LAST stdout line; BENCH_r04 was rc=124 with zero output. The guard
+    streams the child's stdout through as lines arrive (each flushed) and
+    bounds the child at the total budget + grace; if the child produced no
+    JSON by then, the guard prints the null-schema line itself. Never
+    returns."""
+    import subprocess
+    import threading
+
+    budget = _total_budget_s() + 180
+    env = dict(os.environ, DAU_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + list(argv),
+        stdout=subprocess.PIPE, text=True, env=env, bufsize=1)
+    emitted = []
+
+    def pump():
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            print(line, flush=True)
+            if line.startswith("{"):
+                emitted.append(line)
+
+    th = threading.Thread(target=pump, daemon=True)
+    th.start()
+    try:
+        rc = proc.wait(timeout=budget)
+    except subprocess.TimeoutExpired:
+        print(f"bench guard: child overran {budget:.0f}s budget, killing",
+              file=sys.stderr)
+        proc.kill()
+        rc = None
+    th.join(timeout=30)
+    if not emitted:
+        print(json.dumps({
+            "metric": "alexnet_dau_default_trainstep_images_per_sec",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": f"bench child rc={rc} produced no JSON line within "
+                     f"{budget:.0f}s",
+        }), flush=True)
+        sys.exit(1)
+    try:
+        ok = json.loads(emitted[-1]).get("value") is not None
+    except Exception:  # noqa: BLE001
+        ok = False
+    sys.exit(0 if ok else 1)
 
 
 def main():
@@ -535,6 +633,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # Guard wrap (see _run_guarded): the top-level invocation only watches;
+    # all real work happens in the child, marked by DAU_BENCH_CHILD=1.
+    # DAU_BENCH_NO_GUARD=1 opts out (e.g. interactive debugging).
+    if (os.environ.get("DAU_BENCH_CHILD") != "1"
+            and os.environ.get("DAU_BENCH_NO_GUARD") != "1"):
+        _run_guarded(sys.argv[1:])
     try:
         main()
     except RuntimeError as e:

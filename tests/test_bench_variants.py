@@ -59,6 +59,33 @@ def test_variant_subprocess_success_parses_last_json_line():
     assert seen["timeout"] > 0
 
 
+SUB_LINE_N128 = json.dumps({
+    "metric": "alexnet_dau_default_trainstep_images_per_sec(N128,227x227,bf16)",
+    "value": 5581.0, "unit": "images/sec", "vs_baseline": 0.270,
+    "detail": {"dau_step_ms": 22.93, "conv3x3_step_ms": 6.19,
+               "dau_step_pairs_ms": [22.9, 22.93, 23.0],
+               "dau_units": 693248},
+})
+
+
+@pytest.mark.quick
+def test_variant_subprocess_own_baseline_for_different_batch():
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        seen["cmd"] = cmd
+        return _result(stdout=SUB_LINE_N128 + "\n")
+
+    out = bench._measure_variant_subprocess(
+        "default", _Args(), t_conv=2.4e-3, _run=fake_run,
+        extra=("--N", "128"), own_baseline=True)
+    # N=128's conv was measured at N=128 inside the subprocess; the headline
+    # N=32 conv median must NOT be used as its denominator
+    assert out["vs_baseline"] == 0.270
+    assert out["conv3x3_step_ms"] == 6.19
+    assert seen["cmd"][-2:] == ["--N", "128"]
+
+
 @pytest.mark.quick
 def test_variant_subprocess_failure_is_error_entry_not_raise():
     def fake_run(cmd, **kw):
