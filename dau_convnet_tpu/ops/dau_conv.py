@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from . import xla_engine
 from ._edge import disabled_edges
+from ..utils import math as dmath
 from .gaussian import (depthwise_blur, gaussian_factor_filters,
                        gaussian_filters, rank1_blur, rank1_blur_stack)
 
@@ -64,6 +65,14 @@ class DAUConvSettings:
     single_dim_kernel: bool = False      # 1D DAU: blur only along x
     forbid_positive_dim1: bool = False   # zero blur taps at x > 0 (1D causal)
     mu_learning_rate_factor: float = 1.0 # extra factor on mu1/mu2 grads
+    # NaN -> 0 on the final mu1/mu2 gradients (the reference applies this
+    # unconditionally as the last step of Backward_gpu,
+    # base_dau_conv_layer.cu:354-356): a diverged w (0*inf in the
+    # grads*w chain-rule multiply) self-heals in mu instead of poisoning
+    # the positions. w/sigma/input grads are NOT guarded, matching the
+    # reference. Off = raw analytic grads (useful for debugging NaN
+    # sources).
+    nan_guard_mu_grads: bool = True
     unit_normalization: bool = True      # blur filter sums to 1
     square_unit_normalization: bool = False
     component_border_bound: float = 0.01 # mu clip margin from kernel edge
@@ -663,6 +672,12 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
     dw = grads[0]
     dmu1 = grads[1] * w3m * lr
     dmu2 = grads[2] * w3m * lr
+    if cfg.nan_guard_mu_grads:
+        # reference finalize: NaN -> 0 on mu grads only
+        # (base_dau_conv_layer.cu:354-356; lr multiply preserves 0/NaN, so
+        # guarding after it is equivalent to the reference's before-lr order)
+        dmu1 = dmath.clip_nan(dmu1)
+        dmu2 = dmath.clip_nan(dmu2)
     if cfg.compute_sigma_grad:
         dsigma_full = grads[3] * w3m
     else:

@@ -43,8 +43,9 @@ def clip_eps(x, eps):
 
 
 def clip_nan(x):
-    """NaN -> 0 (reference math_functions.cu:313-331)."""
-    return jnp.nan_to_num(x, nan=0.0, posinf=None, neginf=None)
+    """NaN -> 0; +-inf passes through (reference math_functions.cu:313-331
+    is exactly `isnan(val) ? 0 : val`)."""
+    return jnp.where(jnp.isnan(x), jnp.zeros((), x.dtype), x)
 
 
 def pad2d(x, pad: int, value=0.0):

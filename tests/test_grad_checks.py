@@ -104,3 +104,33 @@ def test_vmap_and_grad_compose():
     grads = jax.vmap(jax.grad(per_example_loss))(jnp.asarray(x))
     assert grads.shape == x.shape
     assert np.all(np.isfinite(np.asarray(grads)))
+
+
+def test_nan_guard_mu_grads():
+    """The reference unconditionally converts NaN mu1/mu2 grads to 0 as the
+    final step of Backward_gpu (base_dau_conv_layer.cu:354-356) while w
+    grads pass through raw. Inject an inf into the error with one unit's
+    w = 0: the chain-rule multiply grads*w produces inf*0 = NaN in the mu
+    grads, which the guard must zero; the w grad keeps the non-finite
+    poison (matching the reference, which only guards mu)."""
+    cfg, x, w, mu1, mu2, sig = _case(4)
+    w = np.array(w)
+    w[0, 0, 0, 0] = 0.0  # inf * 0 -> NaN in dmu = grads * w
+
+    def loss(w, mu1, mu2, cfg=cfg):
+        y = dau_conv2d_op(cfg, x, jnp.asarray(w), mu1, mu2, sig)
+        err = jnp.zeros_like(y).at[0, 0, 3, 3].set(jnp.inf)
+        return jnp.vdot(y, err)
+
+    dw, dmu1, dmu2 = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(w), jnp.asarray(mu1), jnp.asarray(mu2))
+    assert not np.all(np.isfinite(np.asarray(dw))), "w grad must propagate"
+    assert np.all(np.isfinite(np.asarray(dmu1)))
+    assert np.all(np.isfinite(np.asarray(dmu2)))
+
+    # with the guard off the NaN reaches the mu grads (documents the flag)
+    cfg_off = DAUConvSettings(kernel_size=9, nan_guard_mu_grads=False)
+    dmu1_raw = jax.grad(lambda w, m1, m2: loss(w, m1, m2, cfg_off),
+                        argnums=1)(jnp.asarray(w), jnp.asarray(mu1),
+                                   jnp.asarray(mu2))
+    assert np.any(np.isnan(np.asarray(dmu1_raw)))
