@@ -534,6 +534,13 @@ def main():
     ap.add_argument("--device", choices=["default", "cpu"], default="default",
                     help="cpu = force the CPU backend (smoke-testing the "
                          "bench path without a chip; handled pre-import)")
+    ap.add_argument("--static-max-offset", dest="static_max_offset",
+                    type=float, default=3.0,
+                    help="layer model only: the static tap bound (the "
+                         "trace-time stand-in for the reference's runtime "
+                         "tier dispatch); smaller = smaller synthesized "
+                         "kernel. Measures the tier re-jit payoff "
+                         "(utils.tiers.retier_offset).")
     args = ap.parse_args()
 
     if args.dtype is None:
@@ -569,15 +576,19 @@ def main():
     err = jnp.asarray(rng.standard_normal((N, F, HW, HW)), dtype)
     w = jnp.asarray(rng.standard_normal((1, S, G, F)) * 0.1, dtype)
     bound = 4 - 0.01
-    mu1 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), dtype)
-    mu2 = jnp.asarray(rng.uniform(-3, 3, (1, S, G, F)), dtype)
+    # offsets must honor the static promise (the op clips |mu| to it); the
+    # reference speedtest inits +-3 on k=9
+    mu_init = min(3.0, args.static_max_offset)
+    mu1 = jnp.asarray(rng.uniform(-mu_init, mu_init, (1, S, G, F)), dtype)
+    mu2 = jnp.asarray(rng.uniform(-mu_init, mu_init, (1, S, G, F)), dtype)
     sigma = jnp.full((1, S, G, F), 0.5, dtype)
 
     # static_max_offset=3 mirrors what the reference's runtime tier dispatch
     # achieves on this config (offsets init +-3 on k=9 -> smallest tier);
     # sigma is not trained by default in the reference, so no sigma table.
     cfg = DAUConvSettings(kernel_size=9, mu_learning_rate_factor=1.0,
-                          static_max_offset=3.0, compute_sigma_grad=False,
+                          static_max_offset=args.static_max_offset,
+                          compute_sigma_grad=False,
                           precision="highest" if args.dtype == "f32" else "default",
                           engine=args.engine)
 
@@ -617,8 +628,10 @@ def main():
     conv_pairs = time_chained.last_pairs_ms
 
     ips = N / t_dau
+    off_tag = (f",off{args.static_max_offset:g}"
+               if args.static_max_offset != 3.0 else "")
     print(json.dumps({
-        "metric": f"dau_layer_fwdbwd_images_per_sec(N{N},S{S},{HW}x{HW},F{F},2x1units,k9,{args.dtype},{args.engine})",
+        "metric": f"dau_layer_fwdbwd_images_per_sec(N{N},S{S},{HW}x{HW},F{F},2x1units,k9,{args.dtype},{args.engine}{off_tag})",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(t_conv / t_dau, 4),

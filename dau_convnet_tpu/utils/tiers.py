@@ -16,7 +16,8 @@ import math
 import numpy as np
 
 __all__ = ["KERNEL_TIERS", "snap_kernel_tier", "tier_for_params",
-           "max_offset_in_tree", "tier_for_tree", "MAX_SUPPORTED_OFFSET"]
+           "max_offset_in_tree", "tier_for_tree", "retier_offset",
+           "MAX_SUPPORTED_OFFSET"]
 
 # same tiers as the reference CUDA engine (dau_conv_forward.cpp:147-159)
 KERNEL_TIERS = (9, 17, 33, 65)
@@ -69,3 +70,28 @@ def max_offset_in_tree(params) -> float:
 def tier_for_tree(params) -> int:
     """Kernel tier covering every DAU layer in a params pytree."""
     return snap_kernel_tier(max_offset_in_tree(params))
+
+
+def retier_offset(live: float, current: float, kernel_size: int,
+                  slack: float = 0.5):
+    """Between-jit-steps re-tier policy: the host-side replacement for the
+    reference's per-step amax dispatch (dau_conv_op.cpp:223-256), both
+    directions.
+
+    `live` is max|mu| over the concrete params, `current` the model's
+    static_max_offset. Returns the new static_max_offset when the model
+    should be re-jitted, else None:
+
+    - GROW immediately when live exceeds the current promise (correctness:
+      the op clips |mu| to the static bound, so exceeding it silently
+      saturates positions).
+    - SHRINK only when the snapped bound ceil(live + slack) drops below the
+      current one (a perf optimization: smaller synthesized aggregation
+      kernel / fewer fourier bins). The +slack inside the ceil gives ~1.5px
+      of hysteresis against drift-flapping between two adjacent bounds.
+    """
+    cap = kernel_size // 2
+    snapped = float(min(math.ceil(live + slack), cap))
+    if snapped != current and (live > current or snapped < current):
+        return snapped
+    return None

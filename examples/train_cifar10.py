@@ -57,7 +57,8 @@ import optax
 
 from dau_convnet_tpu.models import ConvCifarNet, DAUCifarNet
 from dau_convnet_tpu.utils.math import validate_dau_params
-from dau_convnet_tpu.utils.tiers import max_offset_in_tree, snap_kernel_tier
+from dau_convnet_tpu.utils.tiers import (max_offset_in_tree, retier_offset,
+                                          snap_kernel_tier)
 
 
 def check_dau_health(params, kernel_size: int):
@@ -342,13 +343,18 @@ def main():
                 # runtime guards on concrete params, between jit steps
                 check_dau_health(params, net.max_kernel_size)
                 if args.auto_tier:
+                    # both directions: grow for correctness (the op clips to
+                    # the static bound), shrink for speed (smaller synth
+                    # kernel / fewer fourier bins) - the full replacement of
+                    # the reference's per-step amax dispatch
                     live = max_offset_in_tree(params)
-                    if live > net.static_max_offset:
-                        off = min(math.ceil(live + 0.5),
-                                  net.max_kernel_size // 2)
-                        print(f"offsets grew to {live:.2f}: re-jit with "
-                              f"static_max_offset={off}")
-                        net = net.clone(static_max_offset=float(off))
+                    off = retier_offset(live, net.static_max_offset,
+                                        net.max_kernel_size)
+                    if off is not None:
+                        print(f"offsets now {live:.2f}: re-jit "
+                              f"static_max_offset {net.static_max_offset} "
+                              f"-> {off}", flush=True)
+                        net = net.clone(static_max_offset=off)
                         train_step = make_train_step(net)
             if step >= total_steps:
                 break

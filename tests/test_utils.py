@@ -155,3 +155,25 @@ def test_bench_time_chained_tiny_iters():
 
     dt = bench.time_chained(make_step, (jnp.ones((4, 4)),), iters=2, pairs=1)
     assert np.isfinite(dt) and dt > 0
+
+
+def test_retier_offset_policy():
+    """Both directions of the between-epochs re-jit policy (the host-side
+    replacement for the reference's per-step amax tier dispatch,
+    dau_conv_op.cpp:223-256): grow immediately on any excess, shrink only
+    past the hysteresis slack, never exceed the kernel's own bound."""
+    from dau_convnet_tpu.utils.tiers import retier_offset
+
+    # grow: live exceeds the promise -> new bound covers it (+0.5 slack)
+    assert retier_offset(2.2, 2.0, kernel_size=9) == 3.0
+    # grow beyond the kernel cap saturates at k//2
+    assert retier_offset(6.0, 3.0, kernel_size=9) == 4.0
+    # steady state: inside the promise, inside the hysteresis -> no re-jit
+    assert retier_offset(2.8, 3.0, kernel_size=9) is None
+    # live below current but snapped (ceil(1.7+0.5)=3) above it: hold steady
+    assert retier_offset(1.7, 2.0, kernel_size=9) is None
+    # shrink: offsets contracted well below the promise
+    assert retier_offset(0.8, 3.0, kernel_size=9) == 2.0
+    assert retier_offset(0.3, 2.0, kernel_size=9) == 1.0
+    # flap guard: live just below the boundary does not shrink
+    assert retier_offset(2.6, 3.0, kernel_size=9) is None
