@@ -141,14 +141,15 @@ class DAUConvSettings:
     # against the integer-exponent tables once (per-unit work independent
     # of the bin count); 'auto' picks per shape at trace time - factored
     # above FACTORED_MIN_BINS bins, phi below (see _resolve_gather).
-    # Measured (PERF_NOTES round 3): phi wins the B<=256 shapes (conv4
-    # 1.08 vs 1.65 ms - the factored form's skinny per-row table dots are
-    # fill/drain-bound), factored wins phi at conv2 (B=496: 0.71 vs 0.94)
-    # but only TIES the unfused path there (0.73), so the default stays
-    # 'phi' + the fused auto-gate keeping conv2 unfused. The round-4
-    # blocked-dot factored kernel is expected to move the crossover;
-    # re-calibrate FACTORED_MIN_BINS from benchmarks/fused_bwd_probe.py
-    # before making 'auto' the default.
+    # Measured (PERF_NOTES rounds 3+5): phi wins the B<=256 shapes (conv4
+    # B=153: phi fused 0.93 vs factored 2.18 ms), and at high-bin shapes
+    # the blocked-dot factored kernel loses to the UNFUSED path (conv2
+    # B=496: unfused 0.72 vs factored fused 0.97; the round-3 per-row
+    # factored form had tied at 0.71 - the blocked-dot rewrite regressed
+    # it). The default stays 'phi' + the fused auto-gate keeping conv2
+    # unfused, and 'auto' resolves to phi everywhere (FACTORED_MIN_BINS
+    # is None); 'factored' remains an explicit opt-in. Re-calibrate from
+    # benchmarks/fused_bwd_probe.py when the kernels change.
     fused_gather: str = "phi"
     # Rematerialize the fourier engine's phase table in the backward
     # instead of stashing it as a VJP residual: saves 2*B*S*F bytes of HBM
@@ -413,21 +414,27 @@ def _reduce_to_shape(g, shape):
 
 # Calibration point for fused_gather='auto': the fused backward picks the
 # table-factored gather at or above this many frequency bins and the
-# per-unit phi gather below. The phi form's VPU gather passes scale with
-# bins x units while the factored bin stage runs once against static
-# tables, so high-bin shapes belong to the factored form. 257 puts the
-# boundary exactly where the phi form's own auto-gate gives up (B <= 256;
-# measured conv4 B=153 phi 1.08 vs factored 1.65 ms, conv2 B=496 factored
-# 0.71 vs phi 0.94 - PERF_NOTES round 3). Re-calibrate from
+# per-unit phi gather below. Round-5 recalibration (2026-08-19, on-chip,
+# uncontended, benchmarks/fused_bwd_probe.py): the blocked-dot factored
+# kernel is a measured NEGATIVE at BOTH bin regimes - conv4 B=153 phi
+# fused 0.93 vs factored 2.18 ms, conv2 B=496 unfused 0.72 vs factored
+# fused 0.97 ms (the round-3 per-row factored form had tied unfused at
+# conv2 with 0.71; the blocked-dot rewrite regressed it - PERF_NOTES
+# round 5). 'auto' therefore resolves to phi at every bin count (the
+# phi form's own B <= 256 fused gate then falls back to the unfused
+# spectral gather at high-bin shapes, which is the measured best there);
+# 'factored' stays available as an explicit opt-in. Re-calibrate from
 # benchmarks/fused_bwd_probe.py when the kernels change.
-FACTORED_MIN_BINS = 257
+FACTORED_MIN_BINS = None  # disabled: phi/unfused win every measured regime
 
 
 def _resolve_gather(cfg: "DAUConvSettings", bins: int) -> str:
     """Trace-time resolution of the fused backward's gather form."""
     if cfg.fused_gather != "auto":
         return cfg.fused_gather
-    return "factored" if bins >= FACTORED_MIN_BINS else "phi"
+    if FACTORED_MIN_BINS is not None and bins >= FACTORED_MIN_BINS:
+        return "factored"
+    return "phi"
 
 
 def _shardable_axis(am, axis: str, dim: int) -> tp.Optional[str]:
@@ -591,7 +598,11 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         # The phi gather's in-VMEM phase temporaries scale with
         # bins x s_blk x f_blk, so in 'auto' it gates on bin count
         # (measured conv4 B=153: 0.84 vs 1.37 ms, conv2 B=496: 0.94 vs
-        # 0.58). The factored gather's per-unit work is independent of the
+        # 0.58 at G=2) - EXCEPT at G >= 4, where the shared cross-spectra
+        # amortize over more units and the fused kernel wins even at
+        # high-bin shapes (conv2 B=496 G=4: fused 0.84 vs unfused
+        # 1.17 ms; whole large-variant step A/B in PERF_NOTES round 5).
+        # The factored gather's per-unit work is independent of the
         # bin count - no gate (the VMEM plan itself rejects what won't fit).
         p1_, p2_, rb_ = fourier_engine.plan_bins(
             h, w_sp, cfg.synth_kernel_size)
@@ -599,7 +610,7 @@ def _bwd_rule(cfg: DAUConvSettings, res, gy):
         fused_ok = (cfg.fused_bwd == "on"
                     or (cfg.fused_bwd == "auto"
                         and jax.default_backend() == "tpu"
-                        and (p1_ * rb_ <= 256
+                        and (p1_ * rb_ <= 256 or g_ch >= 4
                              if gather == "phi" else True)))
         # Routing: GSPMD cannot partition the opaque Mosaic custom call, so
         # under a mesh context the kernel call is shard_map-wrapped over

@@ -51,8 +51,8 @@ _QUICK_TESTS = (
 _QUICK_EXCLUDE = (
     # ~120 s: interpret-mode factored kernel at a high-bin shape; the
     # routing policy is pinned by test_plans.py::test_resolve_gather_policy
-    "test_round2_features.py::test_fused_gather_auto_resolves_factored"
-    "_at_high_bins",
+    "test_round2_features.py::test_fused_gather_factored_high_bins"
+    "_matches_unfused",
 )
 
 

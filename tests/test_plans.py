@@ -58,22 +58,24 @@ def test_conv2_plans_exist_and_chunk():
 
 @pytest.mark.quick
 def test_resolve_gather_policy():
-    """The fused_gather='auto' trace-time policy: factored at/above
-    FACTORED_MIN_BINS frequency bins, phi below; explicit forms pass
-    through untouched. (The end-to-end numerics of the auto-selected
-    factored branch run in the full tier:
-    test_round2_features.py::test_fused_gather_auto_resolves_factored_
-    at_high_bins.)"""
+    """The fused_gather='auto' trace-time policy after the round-5
+    recalibration (FACTORED_MIN_BINS = None): phi at EVERY bin count -
+    the blocked-dot factored form measured slower at both bin regimes
+    (PERF_NOTES round 5) - and explicit forms pass through untouched.
+    (The end-to-end numerics of the explicit factored form run in the
+    full tier: test_round2_features.py::
+    test_fused_gather_factored_high_bins_matches_unfused.)"""
     from dau_convnet_tpu.ops.dau_conv import (
         DAUConvSettings, FACTORED_MIN_BINS, _resolve_gather)
 
+    assert FACTORED_MIN_BINS is None  # round-5 measured calibration
     auto = DAUConvSettings(kernel_size=9, fused_gather="auto")
-    assert _resolve_gather(auto, FACTORED_MIN_BINS - 1) == "phi"
-    assert _resolve_gather(auto, FACTORED_MIN_BINS) == "factored"
+    for bins in (1, 153, 256, 257, 496, 10_000):
+        assert _resolve_gather(auto, bins) == "phi"
     for form in ("phi", "factored"):
         cfg = DAUConvSettings(kernel_size=9, fused_gather=form)
-        assert _resolve_gather(cfg, FACTORED_MIN_BINS - 1) == form
-        assert _resolve_gather(cfg, FACTORED_MIN_BINS) == form
+        assert _resolve_gather(cfg, 153) == form
+        assert _resolve_gather(cfg, 496) == form
 
 
 @pytest.mark.quick

@@ -281,15 +281,15 @@ def test_remat_phi_with_fused_backward():
 
 
 def test_fused_gather_auto_resolution():
-    """fused_gather='auto' resolves per shape at trace time: the per-unit
-    phi gather below FACTORED_MIN_BINS, the table-factored form at/above;
-    explicit settings pass through unchanged."""
-    from dau_convnet_tpu.ops.dau_conv import (FACTORED_MIN_BINS,
-                                              _resolve_gather)
+    """fused_gather='auto' resolves per shape at trace time. Since the
+    round-5 recalibration (FACTORED_MIN_BINS = None, measured: the
+    blocked-dot factored form loses at both bin regimes) 'auto' is phi
+    everywhere; explicit settings pass through unchanged."""
+    from dau_convnet_tpu.ops.dau_conv import _resolve_gather
 
     cfg_auto = DAUConvSettings(engine="fourier", fused_gather="auto")
-    assert _resolve_gather(cfg_auto, FACTORED_MIN_BINS - 1) == "phi"
-    assert _resolve_gather(cfg_auto, FACTORED_MIN_BINS) == "factored"
+    for bins in (1, 153, 496, 10_000):
+        assert _resolve_gather(cfg_auto, bins) == "phi"
     assert _resolve_gather(
         DAUConvSettings(engine="fourier", fused_gather="phi"), 10_000) == "phi"
     assert _resolve_gather(
@@ -333,20 +333,21 @@ def test_fused_gather_auto_numerics_match_phi(caplog):
                                       err_msg=nm)
 
 
-def test_fused_gather_auto_resolves_factored_at_high_bins(caplog):
-    """At a high-bin shape (B >= FACTORED_MIN_BINS) fused_gather='auto'
-    selects (and logs) the table-factored gather; grads match the unfused
-    spectral path."""
+def test_fused_gather_factored_high_bins_matches_unfused(caplog):
+    """The explicit table-factored gather at a high-bin shape engages the
+    fused kernel (logged) and its grads match the unfused spectral path.
+    (Until the round-5 recalibration this was the 'auto' branch; 'auto'
+    now resolves to phi everywhere, so factored coverage is via the
+    explicit opt-in.)"""
     import dataclasses
     import logging
 
     from dau_convnet_tpu.ops import fourier_engine
-    from dau_convnet_tpu.ops.dau_conv import FACTORED_MIN_BINS
 
     H = W = 14
     ks = 17
     p1, _, rb = fourier_engine.plan_bins(H, W, ks)
-    assert p1 * rb >= FACTORED_MIN_BINS  # the shape exercises the branch
+    assert p1 * rb >= 257  # a high-bin shape (phi's fused gate rejects it)
 
     rng = np.random.default_rng(11)
     N, S, G, F = 2, 8, 2, 8
@@ -359,7 +360,7 @@ def test_fused_gather_auto_resolves_factored_at_high_bins(caplog):
     cfg_unfused = DAUConvSettings(kernel_size=ks, engine="fourier",
                                   precision="highest", fused_bwd="off")
     cfg_auto = dataclasses.replace(cfg_unfused, fused_bwd="on",
-                                   fused_gather="auto")
+                                   fused_gather="factored")
 
     def run(cfg):
         @jax.jit
