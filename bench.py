@@ -136,7 +136,7 @@ def _default_engine(model: str) -> str:
     benchmark at every AlexNet layer shape (PERF_NOTES.md round-2 table);
     the f32/HIGHEST layer microbench keeps the dense engine (oracle-exact
     reference mode)."""
-    return "fourier" if model == "alexnet" else "xla"
+    return "fourier" if model in ("alexnet", "inference") else "xla"
 
 
 def time_chained(make_step, carry, iters=100, pairs=3):
@@ -397,6 +397,83 @@ def bench_alexnet(args):
             print(json.dumps(headline), flush=True)
 
 
+def bench_alexnet_inference(args):
+    """Serving throughput: fwd-only AlexNet-DAU logits, images/sec/chip.
+
+    Three modes measured: the conv3x3 baseline, the plain DAU forward
+    (phase table built per call, as in training), and the SERVING forward
+    with the phi tables precomputed from the frozen params
+    (`AlexNetDAU(phi_caching=True)` + the 'phi_cache' flax collection).
+    The headline value is the serving mode; vs_baseline = conv_fwd /
+    dau_serving step-time ratio. The reference has no separate serving
+    path (inference = the same op, README.md:37-39)."""
+    from flax import linen as nn
+
+    from dau_convnet_tpu.models import AlexNetDAU
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    N = args.N
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((N, 3, 227, 227)), dtype)
+
+    class AlexNetConv(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            y = jnp.transpose(z, (0, 2, 3, 1))
+            y = nn.relu(nn.Conv(96, (11, 11), strides=(4, 4),
+                                padding="VALID", dtype=dtype)(y))
+            y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            for f, pool in ((256, True), (384, False), (384, False),
+                            (256, True)):
+                y = nn.relu(nn.Conv(f, (3, 3), padding="SAME",
+                                    dtype=dtype)(y))
+                if pool:
+                    y = nn.max_pool(y, (3, 3), strides=(2, 2))
+            y = y.reshape(y.shape[0], -1)
+            y = nn.relu(nn.Dense(4096, dtype=dtype)(y))
+            y = nn.relu(nn.Dense(4096, dtype=dtype)(y))
+            return nn.Dense(1000, dtype=dtype)(y)
+
+    def fwd_time(model, variables):
+        # keep the chain data-dependent: fold the logits back into the
+        # carry so the scan can't elide/overlap the forwards
+        def step(c):
+            logits = model.apply(variables, c)
+            return c + (jnp.sum(logits) * 1e-30).astype(c.dtype)
+
+        return time_chained(step, x, args.iters, pairs=3)
+
+    dau = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
+                     engine=args.engine)
+    dau_params = jax.jit(dau.init)(jax.random.PRNGKey(0), x)
+    t_plain = fwd_time(dau, dau_params)
+
+    dau_c = AlexNetDAU(variant=args.variant, train=False, dtype=dtype,
+                       engine=args.engine, phi_caching=True)
+    dau_vars = jax.jit(dau_c.init)(jax.random.PRNGKey(0), x)
+    t_serving = fwd_time(dau_c, dau_vars)
+
+    conv = AlexNetConv()
+    conv_params = jax.jit(conv.init)(jax.random.PRNGKey(0), x)
+    t_conv = fwd_time(conv, conv_params)
+
+    print(json.dumps({
+        "metric": (f"alexnet_dau_{args.variant}_inference_images_per_sec"
+                   f"(N{N},227x227,{args.dtype},phi_cached)"),
+        "value": round(N / t_serving, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(t_conv / t_serving, 4),
+        "detail": {
+            "dau_serving_ms": round(t_serving * 1e3, 3),
+            "dau_plain_fwd_ms": round(t_plain * 1e3, 3),
+            "conv3x3_fwd_ms": round(t_conv * 1e3, 3),
+            "phi_cache_speedup": round(t_plain / t_serving, 3),
+            "engine": args.engine,
+            "device": str(jax.devices()[0]),
+        },
+    }), flush=True)
+
+
 def bench_memtest(args):
     """Long-run stability check - the TPU analogue of the reference's
     `test_DAUConvMemtest` (10k re-runs for leak detection with offsets
@@ -522,7 +599,7 @@ def main():
     ap.add_argument("--engine", default=None,
                     choices=["xla", "fourier", "pallas", "pallas_fused"])
     ap.add_argument("--model", default="alexnet",
-                    choices=["layer", "alexnet", "memtest"])
+                    choices=["layer", "alexnet", "inference", "memtest"])
     ap.add_argument("--variant", default="default",
                     choices=["small", "default", "large"])
     ap.add_argument("--fused-bwd", dest="fused_bwd", default="auto",
@@ -544,13 +621,14 @@ def main():
     args = ap.parse_args()
 
     if args.dtype is None:
-        # production dtype for the model benchmark; oracle-exact f32 for the
+        # production dtype for the model benchmarks; oracle-exact f32 for the
         # layer microbench (comparable to the reference's fp32 CUDA numbers)
         args.dtype = "f32" if args.model == "layer" else "bf16"
     if args.engine is None:
         args.engine = _default_engine(args.model)
     if args.iters is None:
-        args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000}[args.model]
+        args.iters = {"alexnet": 20, "layer": 100, "memtest": 2000,
+                      "inference": 50}[args.model]
 
     # survive a transiently wedged axon tunnel before first backend use
     # (round 3's official bench crashed rc=1 on exactly this); pointless
@@ -561,6 +639,9 @@ def main():
 
     if args.model == "alexnet":
         bench_alexnet(args)
+        return
+    if args.model == "inference":
+        bench_alexnet_inference(args)
         return
     if args.model == "memtest":
         bench_memtest(args)

@@ -52,6 +52,9 @@ class AlexNetDAU(nn.Module):
     fused_bwd: str = "auto"
     fused_dx: str = "auto"
     fused_gather: str = "phi"
+    # serving: cache the fourier phase tables as a 'phi_cache' collection
+    # (see nn.DAUConv2d.phi_caching; inference-only)
+    phi_caching: bool = False
     train: bool = True
     dtype: tp.Any = jnp.float32
 
@@ -78,6 +81,7 @@ class AlexNetDAU(nn.Module):
                           engine=self.engine,
                           fused_bwd=self.fused_bwd, fused_dx=self.fused_dx,
                           fused_gather=self.fused_gather,
+                          phi_caching=self.phi_caching,
                           activation=nn.relu, dtype=self.dtype,
                           name=name)(x)
             if pool:

@@ -7,6 +7,7 @@ from .layers import (
     dau_conv1d,
     dau_conv2d,
     project_dau_params,
+    refresh_phi_cache,
     set_dau_variables_manually,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "dau_conv1d",
     "dau_conv2d",
     "project_dau_params",
+    "refresh_phi_cache",
     "set_dau_variables_manually",
 ]

@@ -31,7 +31,25 @@ from ..ops.gaussian import blur_kernel_size
 
 __all__ = ["DAUGridMean", "ZeroNLast", "DAUConv2d", "DAUConv1d",
            "dau_conv2d", "dau_conv1d", "set_dau_variables_manually",
-           "project_dau_params", "DAU_UNITS_GROUP"]
+           "project_dau_params", "refresh_phi_cache", "DAU_UNITS_GROUP"]
+
+
+def refresh_phi_cache(model, variables, sample_input):
+    """Recompute every `phi_caching` layer's cached phase table from the
+    CURRENT params (serving: call once after loading/updating weights).
+
+    Runs one forward with the 'phi_cache' collection mutable and returns
+    the variables pytree with the refreshed cache installed. `sample_input`
+    must have the serving spatial shape and dtype (the table is built for
+    them).
+    """
+    variables = dict(variables)
+    if "phi_cache" not in variables:
+        # first build: init-style apply materializes the collection
+        variables.setdefault("phi_cache", {})
+    _, upd = model.apply(variables, sample_input, mutable=["phi_cache"])
+    variables["phi_cache"] = upd["phi_cache"]
+    return variables
 
 
 def project_dau_params(params, *, kernel_size: int,
@@ -285,6 +303,16 @@ class DAUConv2d(nn.Module):
     # rebuild the fourier phase table in the backward instead of stashing
     # it as a residual (activation-memory saver for large-batch training)
     remat_phi: bool = False
+    # SERVING: cache the fourier phase table as a 'phi_cache' flax variable
+    # collection. At init the cache is computed from the fresh params; at
+    # apply the layer consumes the cached table and skips the per-call
+    # build (a constant at serving - the reference has no serving path;
+    # this extends its "prefilter cached until sigma changes" idea,
+    # base_dau_conv_layer.cpp:414-434, to the offset table). INFERENCE
+    # ONLY: the cached-phi forward carries no w/mu gradients. After
+    # loading trained params, refresh with `refresh_phi_cache` (or
+    # apply(..., mutable=['phi_cache'])). No-op for non-fourier engines.
+    phi_caching: bool = False
     # None = auto: 'highest' (oracle-exact f32) for float32, 'default'
     # (native bf16 MXU) otherwise
     precision: tp.Optional[str] = None
@@ -413,7 +441,21 @@ class DAUConv2d(nn.Module):
         )
 
         sigma_tiled = jnp.broadcast_to(sigma.reshape(1, 1, 1, 1), pshape)
-        out = dau_conv2d_op(cfg, x, w, mu1, mu2, sigma_tiled)
+        if self.phi_caching and cfg.engine == "fourier":
+            from ..ops.dau_conv import dau_conv2d_infer, precompute_phi
+
+            def build():
+                return precompute_phi(cfg, x.shape[-2:],
+                                      w.astype(x.dtype), mu1, mu2)
+
+            pv = self.variable("phi_cache", "phi", build)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("phi_cache")):
+                pv.value = build()  # explicit mutable apply = refresh
+            out = dau_conv2d_infer(cfg, x, w, mu1, mu2, sigma_tiled,
+                                   phi=pv.value)
+        else:
+            out = dau_conv2d_op(cfg, x, w, mu1, mu2, sigma_tiled)
 
         if self.strides > 1:
             # stride emulated by output slicing, same compute as stride 1
