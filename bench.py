@@ -203,7 +203,7 @@ def time_chained(make_step, carry, iters=100, pairs=3):
 
 
 def _measure_variant_subprocess(vname, args, t_conv, _run=None, extra=(),
-                                own_baseline=False):
+                                own_baseline=False, raw=False):
     """Measure one AlexNet-DAU variant in a bounded subprocess.
 
     The headline numbers are already in hand when this runs; a tunnel hang
@@ -214,8 +214,10 @@ def _measure_variant_subprocess(vname, args, t_conv, _run=None, extra=(),
     (errors come back as {"error": ...}). `extra` appends argv (e.g. a
     different --N); `own_baseline=True` takes the subprocess's own
     vs_baseline (its conv was measured at ITS batch size, so the headline
-    conv median is not comparable). `_run` injects a subprocess.run stand-in
-    for tests.
+    conv median is not comparable). `raw=True` forwards the subprocess's
+    value/vs_baseline/detail verbatim (for modes with a different detail
+    schema, e.g. --model inference). `_run` injects a subprocess.run
+    stand-in for tests.
     """
     import subprocess
     run = _run or subprocess.run
@@ -239,6 +241,11 @@ def _measure_variant_subprocess(vname, args, t_conv, _run=None, extra=(),
                 f"variant subprocess rc={r.returncode}: "
                 f"{tail[-1] if tail else 'no output'}")
         sub = json.loads(line)
+        if raw:
+            det = dict(sub.get("detail", {}))
+            det.pop("device", None)
+            return {"images_per_sec": sub["value"],
+                    "vs_baseline": sub["vs_baseline"], **det}
         out = {
             "images_per_sec": sub["value"],
             "dau_step_ms": sub["detail"]["dau_step_ms"],
@@ -383,16 +390,22 @@ def bench_alexnet(args):
     if (args.variant == "default" and N == 32 and not _FORCED_CPU
             and os.environ.get("DAU_BENCH_ALL_VARIANTS", "1") != "0"):
         variants = {}
-        plan = (("small", "small", (), False),
-                ("large", "large", (), False),
-                ("N128", "default", ("--N", "128"), True))
-        for key, vname, extra, own in plan:
+        # last entry degrades first under a tight budget; inference (the
+        # serving mode, own conv-fwd baseline + different detail schema)
+        # rides along as a raw entry
+        plan = (("small", "small", (), False, False),
+                ("large", "large", (), False, False),
+                ("N128", "default", ("--N", "128"), True, False),
+                ("inference", "default", ("--model", "inference"),
+                 True, True))
+        for key, vname, extra, own, raw in plan:
             if _remaining_s() < 240:
                 variants[key] = {
                     "skipped": f"budget ({_remaining_s():.0f}s left)"}
             else:
                 variants[key] = _measure_variant_subprocess(
-                    vname, args, t_conv, extra=extra, own_baseline=own)
+                    vname, args, t_conv, extra=extra, own_baseline=own,
+                    raw=raw)
             headline["detail"]["variants"] = dict(variants)
             print(json.dumps(headline), flush=True)
 

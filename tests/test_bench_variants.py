@@ -86,6 +86,37 @@ def test_variant_subprocess_own_baseline_for_different_batch():
     assert seen["cmd"][-2:] == ["--N", "128"]
 
 
+SUB_LINE_INFER = json.dumps({
+    "metric": ("alexnet_dau_default_inference_images_per_sec"
+               "(N32,227x227,bf16,phi_cached)"),
+    "value": 21000.0, "unit": "images/sec", "vs_baseline": 0.61,
+    "detail": {"dau_serving_ms": 1.5, "dau_plain_fwd_ms": 2.1,
+               "conv3x3_fwd_ms": 0.92, "phi_cache_speedup": 1.4,
+               "engine": "fourier", "device": "TPU v5 lite0"},
+})
+
+
+@pytest.mark.quick
+def test_variant_subprocess_raw_forwards_inference_schema():
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        seen["cmd"] = cmd
+        return _result(stdout=SUB_LINE_INFER + "\n")
+
+    out = bench._measure_variant_subprocess(
+        "default", _Args(), t_conv=2.4e-3, _run=fake_run,
+        extra=("--model", "inference"), own_baseline=True, raw=True)
+    # the inference mode's own ratio and detail come through verbatim
+    # (its detail has no dau_step_ms; raw mode must not KeyError on it)
+    assert out["images_per_sec"] == 21000.0
+    assert out["vs_baseline"] == 0.61
+    assert out["dau_serving_ms"] == 1.5
+    assert out["phi_cache_speedup"] == 1.4
+    assert "device" not in out
+    assert seen["cmd"][-2:] == ["--model", "inference"]
+
+
 @pytest.mark.quick
 def test_variant_subprocess_failure_is_error_entry_not_raise():
     def fake_run(cmd, **kw):
